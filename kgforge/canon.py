@@ -1,0 +1,103 @@
+"""Stage C — canonicalization: connected components over same-as xref edges
+via iterative DataFrame min-label propagation (SURVEY.md §2.A A7, §4.3).
+
+The reference merges items sharing an xref; the batch equivalent is the
+connected components of the same-as graph, with the canonical id = minimum
+entity id of each component (deterministic, matches the bot's first-win
+merge direction).
+
+Algorithm: min-label propagation with POINTER JUMPING — each iteration does
+(1) a neighbor-min step (labels flow across edges) and (2) a shortcut step
+(label ← label-of-label), which contracts label chains geometrically, so a
+path of length d converges in O(log d) iterations instead of O(d). Each
+iteration `localCheckpoint`s to truncate lineage (Catalyst has no recursion;
+an unchecked loop rebuilds an exponentially deep plan, SURVEY.md §4.3).
+
+Convergence check: count of labels that changed this iteration — a cheap
+aggregate over the (node → label) table, not a join against the previous
+full result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 40
+) -> DataFrame:
+    """edges(src, dst) undirected → (node:string, component:string).
+
+    component = min node id (lexicographic) reachable from the node.
+    Isolated nodes don't appear in `edges`; callers union them back
+    (see canonical_map).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    bidir = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    bidir = bidir.repartition("a").localCheckpoint(eager=True)
+
+    labels = (
+        bidir.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # (1) neighbor-min: every node learns the smallest label adjacent to it
+        nbr = (
+            bidir.join(labels, bidir.a == labels.node)
+            .select(F.col("b").alias("node"), "label")
+        )
+        new = (
+            labels.select("node", "label")
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # (2) pointer jumping: label ← label(label), contracting chains
+        lmap = new.select(F.col("node").alias("l_node"), F.col("label").alias("l_label"))
+        new = (
+            new.join(lmap, new.label == lmap.l_node, "left")
+            .select("node", F.coalesce("l_label", "label").alias("label"))
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def canonical_map(entities: DataFrame, edges: DataFrame) -> DataFrame:
+    """All entities → (entity_id, canonical_id); isolated entities map to self."""
+    cc = connected_components(edges)
+    ent = entities.select("entity_id").distinct()
+    return ent.join(cc, ent.entity_id == cc.node, "left").select(
+        "entity_id", F.coalesce("component", "entity_id").alias("canonical_id")
+    )
+
+
+def remap_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the canonical map (two broadcast joins).
+
+    obj values that are literals (CURIEs etc.) pass through unchanged — only
+    ids present in the canonical map are rewritten.
+    """
+    cm = F.broadcast(canon)
+    s = cm.select(F.col("entity_id").alias("s_id"), F.col("canonical_id").alias("s_canon"))
+    o = cm.select(F.col("entity_id").alias("o_id"), F.col("canonical_id").alias("o_canon"))
+    return (
+        triples.join(s, triples.subj == s.s_id, "left")
+        .join(o, triples.obj == o.o_id, "left")
+        .withColumn("subj", F.coalesce("s_canon", "subj"))
+        .withColumn("obj", F.coalesce("o_canon", "obj"))
+        .drop("s_id", "s_canon", "o_id", "o_canon")
+    )

@@ -1,0 +1,139 @@
+"""Deterministic transcript corpus derived from the driver `documents` table.
+
+The contract input is an Iceberg table of multi-turn transcripts
+``(conv_id, turn_idx, role, text, tool, ts)`` (BASELINE.json input_hint).
+No external data may be used, so for the driver's sf dirs we derive such a
+table deterministically from ``documents.parquet`` — every derivation below
+is pure SQL-expressible arithmetic on ``doc_id``, which lets the ENTIRE
+pipeline (extract → link → canonicalize → triples) carry a full DuckDB
+oracle (kgforge/ops/pipeline_ops.py). Richer fixtures (multi-word aliases,
+ambiguity, hot conversations) are synthesized separately in kgforge/synth.py
+for pytest.
+
+Derivation (mirrored verbatim in the oracle SQL — keep in sync):
+- conv_id  = 'c' || lpad(doc_id % n_convs, 6, '0')  with n_convs = greatest(20, n_docs//8)
+- turn_idx = doc_id // n_convs   (dense 0.. per conversation, unique)
+- role     = ['user','assistant','tool'][doc_id % 3]
+- tool     = 'none' unless role='tool', else ['search','code','sql','browser'][doc_id % 4]
+- ts       = TIMESTAMP '2024-01-01' + doc_id * 37 seconds
+- text     = documents.text (verbatim — per-turn text equality invariant)
+
+The dictionary is the set of distinct corpus tokens with length ≥ MIN_TOKEN_LEN:
+entity_id = 'E_'||token, curie = 'TOK:'||token, prior = 1.0. Same-as xref
+edges connect each entity to the minimum entity of its 4-char-prefix group
+(star edges), so the connected-component canonical id equals the group min —
+independently recomputable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge.tables import load
+
+MIN_TOKEN_LEN = 4
+PREFIX_LEN = 4
+
+
+def n_convs_expr(n_docs_col: str = "n_docs") -> str:
+    return f"greatest(20, {n_docs_col} // 8)"
+
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    n_convs = max(20, n_docs // 8)
+    return docs.select(
+        F.concat(F.lit("c"), F.lpad((F.col("doc_id") % n_convs).cast("string"), 6, "0")).alias(
+            "conv_id"
+        ),
+        (F.col("doc_id") / n_convs).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("role"),
+        F.when(
+            F.col("doc_id") % 3 == 2,
+            F.element_at(
+                F.array(F.lit("search"), F.lit("code"), F.lit("sql"), F.lit("browser")),
+                (F.col("doc_id") % 4).cast("int") + 1,
+            ),
+        )
+        .otherwise(F.lit("none"))
+        .alias("tool"),
+        F.col("text"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id").cast("double") * 37)
+        ).alias("ts"),
+    )
+
+
+# SQL fragment mirroring derive_transcripts for the DuckDB oracle.
+TRANSCRIPTS_SQL = f"""
+    WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+    transcripts AS (
+      SELECT
+        'c' || lpad(CAST(doc_id % greatest(20, n_docs // 8) AS VARCHAR), 6, '0') AS conv_id,
+        CAST(doc_id // greatest(20, n_docs // 8) AS INT) AS turn_idx,
+        (['user','assistant','tool'])[CAST(doc_id % 3 AS INT) + 1] AS role,
+        CASE WHEN doc_id % 3 = 2
+             THEN (['search','code','sql','browser'])[CAST(doc_id % 4 AS INT) + 1]
+             ELSE 'none' END AS tool,
+        text,
+        TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(CAST(doc_id * 37 * 1000000 AS BIGINT)) AS ts
+      FROM documents, nd
+    )
+"""
+
+
+def derive_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct corpus tokens (len ≥ MIN_TOKEN_LEN) as a 1:1 entity lexicon."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("surface"))
+        .where(F.length("surface") >= MIN_TOKEN_LEN)
+        .distinct()
+    )
+    return toks.select(
+        "surface",
+        F.concat(F.lit("E_"), F.col("surface")).alias("entity_id"),
+        F.concat(F.lit("TOK:"), F.col("surface")).alias("curie"),
+        F.lit(1.0).alias("prior"),
+    )
+
+
+DICTIONARY_SQL = f"""
+    dictionary AS (
+      SELECT surface,
+             'E_' || surface AS entity_id,
+             'TOK:' || surface AS curie,
+             1.0 AS prior
+      FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS surface FROM documents)
+      WHERE length(surface) >= {MIN_TOKEN_LEN}
+    )
+"""
+
+
+def derive_xref_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star same-as edges: each entity ↔ min entity of its 4-char-prefix group."""
+    d = derive_dictionary(spark, sf_dir).select(
+        "entity_id", F.substring("surface", 1, PREFIX_LEN).alias("pfx")
+    )
+    mins = d.groupBy("pfx").agg(F.min("entity_id").alias("dst"))
+    return (
+        d.join(mins, "pfx")
+        .where(F.col("entity_id") != F.col("dst"))
+        .select(F.col("entity_id").alias("src"), "dst", F.lit("prefix4").alias("source"))
+    )
+
+
+CANONICAL_SQL = f"""
+    canonical AS (
+      SELECT entity_id,
+             min(entity_id) OVER (PARTITION BY substring(surface, 1, {PREFIX_LEN}))
+               AS canonical_id
+      FROM dictionary
+    )
+"""

@@ -1,0 +1,85 @@
+"""Stage E — Arrow-batched mention detection over transcript turns.
+
+Replaces the reference bot's per-record field matching (SURVEY.md §2.A A2/A5)
+with a vectorized dataflow: transcripts are salted-repartitioned by
+``conv_id`` (kgforge.skew), sorted within partitions by
+``(conv_id, turn_idx)`` for stable Arrow batch order (BASELINE.json:
+"stable (conv_id, turn_idx) window ordering"), then streamed through a
+``mapInPandas`` matcher that is built ONCE per task from a broadcast surface
+list. No per-row Python crosses the JVM boundary — batches move as Arrow
+record batches.
+
+Scale notes:
+- The lexicon is broadcast (one copy per executor, not per task).
+- Extraction is per-turn, so splitting a hot conversation across salted
+  partitions is semantics-preserving (SURVEY.md §4.3).
+- Output carries ``m_idx`` (mention order within the turn) so downstream
+  windows never depend on physical row order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kgforge.matcher import LexiconMatcher
+
+MENTIONS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("m_idx", IntegerType()),
+        StructField("surface", StringType()),
+        StructField("begin", IntegerType()),
+        StructField("end", IntegerType()),
+    ]
+)
+
+
+def extract_mentions(transcripts: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """transcripts(conv_id, turn_idx, text, …) × dictionary(surface) → mentions."""
+    spark = transcripts.sparkSession
+    surfaces = [r[0] for r in dictionary.select("surface").distinct().collect()]
+    bc = spark.sparkContext.broadcast(surfaces)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = LexiconMatcher(bc.value)  # built once per task
+        for pdf in batches:
+            rows: list[tuple] = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                for m_idx, (surface, begin, end) in enumerate(
+                    matcher.find(text if isinstance(text, str) else "")
+                ):
+                    rows.append((conv_id, int(turn_idx), m_idx, surface, begin, end))
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "m_idx", "surface", "begin", "end"]
+            )
+
+    narrow = transcripts.select("conv_id", "turn_idx", "text").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+    return narrow.mapInPandas(run, MENTIONS_SCHEMA)
+
+
+def mint_mention_id(df: DataFrame) -> DataFrame:
+    """Deterministic mention id (md5 of provenance) — stable across reruns,
+    which is what makes downstream MERGE idempotent (SURVEY.md §3.3)."""
+    return df.withColumn(
+        "mention_id",
+        F.md5(
+            F.concat_ws(
+                "|", "conv_id", F.col("turn_idx").cast("string"), F.col("m_idx").cast("string")
+            )
+        ),
+    )

@@ -1,0 +1,70 @@
+"""Per-partition lineage + counter metrics and resumable checkpoints
+(SURVEY.md §2.A A9/A10, §3.3; BASELINE.json: "checkpoints per-partition …
+with lineage and counter metrics for resumability").
+
+``lineage_part = pmod(xxhash64(conv_id), n)`` is a STABLE partition key,
+independent of Spark's physical partitioning, so checkpoint rows mean the
+same thing across runs, cluster sizes, and AQE decisions.
+
+The checkpoint table lives in the warehouse like any other table (merged on
+(run_id, stage, lineage_part) — idempotent), so a restarted driver reads it
+back and anti-joins done partitions out of the input.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge.io.tableio import Warehouse
+
+N_LINEAGE_PARTS = 64
+CHECKPOINT_TABLE = "_checkpoints"
+
+
+def with_lineage_part(df: DataFrame, key: str = "conv_id", n: int = N_LINEAGE_PARTS) -> DataFrame:
+    return df.withColumn("lineage_part", F.pmod(F.xxhash64(key), F.lit(n)).cast("int"))
+
+
+def stage_metrics(df: DataFrame, stage: str, run_id: str) -> DataFrame:
+    """Per-lineage-part counters for a stage output (requires lineage_part col)."""
+    return df.groupBy("lineage_part").agg(F.count(F.lit(1)).alias("rows_out")).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        "lineage_part",
+        "rows_out",
+        F.lit("done").alias("status"),
+        F.lit(int(time.time() * 1000)).alias("wall_ms"),
+    )
+
+
+def record_stage(
+    wh: Warehouse, spark: SparkSession, df_with_lineage: DataFrame, stage: str, run_id: str
+) -> None:
+    m = stage_metrics(df_with_lineage, stage, run_id)
+    wh.merge(spark, CHECKPOINT_TABLE, m, keys=["run_id", "stage", "lineage_part"])
+
+
+def done_parts(wh: Warehouse, spark: SparkSession, stage: str, run_id: str) -> DataFrame | None:
+    """lineage_parts already completed for (run_id, stage), or None."""
+    if not wh.exists(CHECKPOINT_TABLE):
+        return None
+    cp = wh.read(spark, CHECKPOINT_TABLE)
+    return (
+        cp.where(
+            (F.col("run_id") == run_id)
+            & (F.col("stage") == stage)
+            & (F.col("status") == "done")
+        )
+        .select("lineage_part")
+        .distinct()
+    )
+
+
+def filter_resume(df_with_lineage: DataFrame, done: DataFrame | None) -> DataFrame:
+    """Drop lineage parts already completed (anti-join on the checkpoint set)."""
+    if done is None:
+        return df_with_lineage
+    return df_with_lineage.join(F.broadcast(done), "lineage_part", "left_anti")

@@ -1,0 +1,56 @@
+"""Cross-engine determinism helpers for the DuckDB-oracle operator surface.
+
+Floating-point sums are order-dependent; Spark and DuckDB aggregate in
+different orders, so a naive ``SUM(double)`` can differ in low-order bits and
+fail the driver's value-hash compare. Every value in the driver tables is a
+money-like double within ~1e-9 of a 2-decimal value, so casting each element
+to ``DECIMAL(18,4)`` is lossless-in-intent and makes the sum EXACT and
+identical in both engines; the final cast back to double is then bit-identical.
+
+SQL mirrors are plain strings the DuckDB side uses; keep the two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact sum of a money-like double column → double (order-insensitive)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def davg(col: Column | str) -> Column:
+    """Exact-sum average: decimal sum cast to double, divided by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def davg_sql(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({expr})"
+    )
+
+
+def dmul(a: Column, b: Column) -> Column:
+    """Exact product of two money-like doubles as decimal (for dsum_raw)."""
+    return a.cast(DEC) * b.cast(DEC)
+
+
+def dsum_raw(col: Column) -> Column:
+    """Sum a column that is ALREADY exact decimal (e.g. a dmul product)."""
+    return F.sum(col).cast("double")
+
+
+def dmul_sum_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(SUM(CAST({a} AS DECIMAL(18,4)) * CAST({b} AS DECIMAL(18,4))) AS DOUBLE)"
+    )

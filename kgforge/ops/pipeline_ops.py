@@ -1,0 +1,206 @@
+"""Driver-checked keys for the KG pipeline stages themselves.
+
+Unusually, the WHOLE pipeline carries a full DuckDB oracle here: the corpus
+is derived from `documents` by pure arithmetic (kgforge.corpus), the text is
+single-space lowercase words, and the dictionary is 1:1 token→entity — so
+mention detection, linking, canonicalization, and triple construction are
+all independently recomputable in ANSI SQL. The richer semantics that SQL
+can't express (multi-word leftmost-longest matching, ambiguous aliases,
+prior-based disambiguation, skew splitting) are exercised in pytest against
+tests/oracle_ref.py instead (SURVEY.md §5.2).
+
+The Spark side still runs the REAL operators — Arrow-batched matcher UDF,
+broadcast+SMJ linking, iterative-CC canonicalization — the oracle only
+recomputes their results, not their algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge import canon, corpus, extract, link, triples
+from kgforge.registry import register
+
+# Shared CTE prefix: transcripts + dictionary + canonical map, mirrored from
+# kgforge/corpus.py (keep in sync with derive_* functions there).
+_PRELUDE = (
+    corpus.TRANSCRIPTS_SQL
+    + ",\n"
+    + corpus.DICTIONARY_SQL
+    + ",\n"
+    + corpus.CANONICAL_SQL
+)
+
+# Token stream with char offsets + mention index (matcher semantics: the
+# dictionary is exactly the length≥6 tokens, text is single-space words, so
+# leftmost-longest over 1-word surfaces == every dictionary-token occurrence).
+_MENTIONS_CTE = f"""
+    tok AS (
+      SELECT conv_id, turn_idx,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM transcripts
+    ),
+    tok_off AS (
+      SELECT conv_id, turn_idx, tok, pos,
+             CAST(coalesce(sum(length(tok) + 1) OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS begin
+      FROM tok
+    ),
+    mentions AS (
+      SELECT conv_id, turn_idx,
+             CAST(row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) - 1
+                  AS INT) AS m_idx,
+             tok AS surface, begin,
+             CAST(begin + length(tok) AS INT) AS "end"
+      FROM tok_off WHERE length(tok) >= {corpus.MIN_TOKEN_LEN}
+    )
+"""
+
+_LINKED_CTE = """
+    linked AS (
+      SELECT m.conv_id, m.turn_idx, m.m_idx, m.surface,
+             d.entity_id, d.curie, d.prior
+      FROM mentions m JOIN dictionary d USING (surface)
+    )
+"""
+
+_TRIPLES_CTE = """
+    raw_triples AS (
+      SELECT entity_id AS subj, 'resolved_as' AS pred, curie AS obj,
+             conv_id, turn_idx, m_idx, prior AS confidence
+      FROM linked
+      UNION ALL
+      SELECT entity_id AS subj, 'co_occurs' AS pred, next_entity AS obj,
+             conv_id, turn_idx, m_idx, prior AS confidence
+      FROM (SELECT *, lead(entity_id) OVER (PARTITION BY conv_id, turn_idx
+                                            ORDER BY m_idx) AS next_entity
+            FROM linked)
+      WHERE next_entity IS NOT NULL
+      UNION ALL
+      SELECT entity_id AS subj, 'mentions_with' AS pred, next_entity AS obj,
+             conv_id, turn_idx, m_idx, prior AS confidence
+      FROM (SELECT *, lead(entity_id) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx) AS next_entity
+            FROM (SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                                 ORDER BY m_idx) AS rn
+                    FROM linked) WHERE rn = 1))
+      WHERE next_entity IS NOT NULL
+    ),
+    remapped AS (
+      SELECT coalesce(cs.canonical_id, t.subj) AS subj, t.pred,
+             coalesce(co.canonical_id, t.obj) AS obj,
+             t.conv_id, t.turn_idx, t.m_idx, t.confidence
+      FROM raw_triples t
+      LEFT JOIN canonical cs ON t.subj = cs.entity_id
+      LEFT JOIN canonical co ON t.obj = co.entity_id
+    ),
+    final_triples AS (
+      SELECT subj, pred, obj, conv_id, turn_idx, confidence
+      FROM (SELECT *, row_number() OVER (PARTITION BY subj, pred, obj
+                                         ORDER BY conv_id, turn_idx, m_idx) AS rn
+            FROM remapped)
+      WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "pipe_transcripts",
+    sql=_PRELUDE + "\nSELECT conv_id, turn_idx, role, tool, text, ts FROM transcripts",
+    doc="Deterministic transcript derivation from documents (pipeline input).",
+)
+def pipe_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.derive_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool", "text", "ts"
+    )
+
+
+@register(
+    "udf_mentions",
+    sql=_PRELUDE + ",\n" + _MENTIONS_CTE
+    + '\nSELECT conv_id, turn_idx, m_idx, surface, begin, "end" FROM mentions',
+    doc=(
+        "Arrow-batched leftmost-longest mention detection (mapInPandas matcher "
+        "built once per task from a broadcast lexicon) — char offsets included."
+    ),
+)
+def udf_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = corpus.derive_transcripts(spark, sf_dir)
+    d = corpus.derive_dictionary(spark, sf_dir)
+    return extract.extract_mentions(tr, d)
+
+
+@register(
+    "udf_link",
+    sql=_PRELUDE + ",\n" + _MENTIONS_CTE + ",\n" + _LINKED_CTE
+    + "\nSELECT conv_id, turn_idx, m_idx, entity_id, curie, prior FROM linked",
+    doc="Broadcast-head + sort-merge-tail entity linking with rank-1 disambiguation.",
+)
+def udf_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = corpus.derive_transcripts(spark, sf_dir)
+    d = corpus.derive_dictionary(spark, sf_dir)
+    m = extract.extract_mentions(tr, d)
+    return link.link_mentions(m, d).select(
+        "conv_id", "turn_idx", "m_idx", "entity_id", "curie", "prior"
+    )
+
+
+@register(
+    "graph_cc",
+    sql=_PRELUDE + "\nSELECT entity_id, canonical_id FROM canonical",
+    doc=(
+        "Connected components via iterative min-label propagation with pointer "
+        "jumping + localCheckpoint per iteration (SURVEY.md §4.3). Oracle "
+        "recomputes components independently (group-min over the edge-generating "
+        "rule); structural stress (chains/stars) is pytest vs DuckDB recursion."
+    ),
+)
+def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = corpus.derive_dictionary(spark, sf_dir)
+    edges = corpus.derive_xref_edges(spark, sf_dir)
+    return canon.canonical_map(d.select("entity_id"), edges)
+
+
+@register(
+    "pipe_triples",
+    sql=_PRELUDE + ",\n" + _MENTIONS_CTE + ",\n" + _LINKED_CTE + ",\n" + _TRIPLES_CTE
+    + "\nSELECT subj, pred, obj, conv_id, turn_idx, confidence FROM final_triples",
+    doc=(
+        "FLAGSHIP: full pipeline — extract → link → canonical remap → "
+        "first-emission dedup — checked value-exact against an independent "
+        "SQL reconstruction."
+    ),
+)
+def pipe_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = corpus.derive_transcripts(spark, sf_dir)
+    d = corpus.derive_dictionary(spark, sf_dir)
+    edges = corpus.derive_xref_edges(spark, sf_dir)
+    m = extract.extract_mentions(tr, d)
+    linked = link.link_mentions(m, d)
+    raw = triples.build_raw_triples(linked)
+    cmap = canon.canonical_map(d.select("entity_id"), edges)
+    remapped = canon.remap_triples(raw, cmap)
+    return triples.dedup_triples(remapped)
+
+
+@register(
+    "graph_degree",
+    sql=_PRELUDE + ",\n" + _MENTIONS_CTE + ",\n" + _LINKED_CTE + ",\n" + _TRIPLES_CTE
+    + """
+    SELECT coalesce(node_id, node_id2) AS node_id,
+           coalesce(out_degree, 0) AS out_degree,
+           coalesce(in_degree, 0) AS in_degree
+    FROM (SELECT subj AS node_id, count(*) AS out_degree
+          FROM final_triples GROUP BY subj)
+    FULL JOIN (SELECT obj AS node_id2, count(*) AS in_degree
+               FROM final_triples WHERE NOT contains(obj, ':') GROUP BY obj)
+      ON node_id = node_id2
+    """,
+    doc="Graph node degrees over the materialized triple set.",
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triples.build_nodes(pipe_triples(spark, sf_dir))

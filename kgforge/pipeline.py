@@ -1,0 +1,103 @@
+"""End-to-end KG-construction pipeline: extract → link → canonicalize →
+materialize (BASELINE.json north_star), resumable and idempotent.
+
+Stage boundaries and their shuffle/process crossings (SURVEY.md §3.2):
+
+  read + salted repartition   1 shuffle (repartition by conv_id+salt)
+  extract (mapInPandas)       Arrow JVM↔Python boundary, no shuffle
+  link (broadcast + SMJ)      broadcast + 1 shuffle for the tail join
+  triples (windows)           1 shuffle (partitionBy conv_id[,turn_idx])
+  canonicalize (CC loop)      2 shuffles × O(log d) iterations
+  materialize (MERGE)         1 shuffle (dedup) + snapshot write
+
+Resume unit = (stage, lineage_part): the expensive extract+link stage writes
+per-partition checkpoint rows; a rerun with the same run_id anti-joins done
+parts and merges only the remainder (ids are deterministic hashes, so MERGE
+is a no-op for re-processed rows).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge import canon, extract, link, metrics, skew, triples
+from kgforge.io.tableio import Warehouse
+
+
+@dataclass
+class PipelineConfig:
+    warehouse_root: str
+    run_id: str = "run-1"
+    num_partitions: int = 32
+    hot_threshold: int = 2000
+    target_rows: int = 1000
+    observed: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    xref_edges: DataFrame,
+    cfg: PipelineConfig,
+) -> dict[str, DataFrame]:
+    """Run all stages; returns the materialized tables (read from warehouse)."""
+    wh = Warehouse(cfg.warehouse_root)
+    t0 = time.time()
+
+    # ---- stage 1: extract + link (resumable per lineage_part) -----------
+    tr = metrics.with_lineage_part(transcripts)
+    done = metrics.done_parts(wh, spark, "linked", cfg.run_id)
+    todo = metrics.filter_resume(tr, done)
+    salted = skew.salted_repartition(
+        todo, cfg.num_partitions, cfg.hot_threshold, cfg.target_rows
+    )
+    mentions = extract.extract_mentions(salted, dictionary)
+    linked = link.link_mentions(mentions, dictionary)
+    linked = metrics.with_lineage_part(linked)
+    if done is not None and done.limit(1).count() > 0:
+        wh.merge(
+            spark,
+            "linked",
+            linked,
+            keys=["conv_id", "turn_idx", "m_idx"],
+        )
+    else:
+        wh.write_snapshot("linked", linked)
+    metrics.record_stage(wh, spark, linked, "linked", cfg.run_id)
+    linked_all = wh.read(spark, "linked")
+    cfg.observed["linked_rows"] = linked_all.count()
+
+    # ---- stage 2: canonical map (CC over same-as edges) ------------------
+    cmap = canon.canonical_map(
+        dictionary.select("entity_id").distinct(), xref_edges
+    )
+    wh.write_snapshot("canonical_map", cmap)
+    cmap = wh.read(spark, "canonical_map")
+
+    # ---- stage 3: triples + canonical remap + dedup + MERGE --------------
+    raw = triples.build_raw_triples(linked_all)
+    remapped = canon.remap_triples(raw, cmap)
+    final = triples.dedup_triples(remapped)
+    final = metrics.with_lineage_part(final)
+    wh.merge(spark, "triples", final, keys=["subj", "pred", "obj"],
+             partition_by=["lineage_part"])
+    metrics.record_stage(wh, spark, wh.read(spark, "triples"), "triples", cfg.run_id)
+
+    # ---- stage 4: nodes ---------------------------------------------------
+    tri = wh.read(spark, "triples")
+    nodes = triples.build_nodes(tri)
+    wh.merge(spark, "nodes", nodes, keys=["node_id"])
+
+    cfg.observed["triples_rows"] = tri.count()
+    cfg.observed["wall_s"] = time.time() - t0
+    return {
+        "triples": tri,
+        "nodes": wh.read(spark, "nodes"),
+        "linked": linked_all,
+        "canonical_map": cmap,
+    }

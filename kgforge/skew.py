@@ -1,0 +1,51 @@
+"""Explicit skew handling: salted repartition by conv_id with hot-key
+splitting (BASELINE.json north_star: "salted repartition by conv_id with
+explicit skew splitting of hot conversations").
+
+AQE's skew-join splitting only fixes join-stage skew; a conversation with
+5,000–20,000 turns still lands on ONE task at the UDF/extraction stage. The
+fix is semantic: extraction is per-turn, so a hot conversation can be split
+across partitions by a turn-derived salt without changing any result
+(SURVEY.md §4.3). Ops that need whole conversations (cross-turn windows) run
+AFTER extraction on mention-level data, which is orders of magnitude smaller.
+
+One cheap count pass computes per-conversation sizes; conversations above
+``hot_threshold`` get ``salt = turn_idx % n_splits`` (n_splits sized so each
+slice ≈ target_rows); everything else gets salt 0. The count side is tiny
+(one row per conversation) and is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_repartition(
+    transcripts: DataFrame,
+    num_partitions: int,
+    hot_threshold: int = 2000,
+    target_rows: int = 1000,
+) -> DataFrame:
+    """Repartition transcripts by (conv_id, salt), splitting hot conversations."""
+    counts = (
+        transcripts.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .where(F.col("n_turns") > hot_threshold)
+        .withColumn(
+            "n_splits", F.ceil(F.col("n_turns") / F.lit(target_rows)).cast("int")
+        )
+        .select("conv_id", "n_splits")
+    )
+    with_salt = (
+        transcripts.join(F.broadcast(counts), "conv_id", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("n_splits").isNotNull(),
+                F.pmod(F.col("turn_idx"), F.col("n_splits")),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("n_splits")
+    )
+    return with_salt.repartition(num_partitions, "conv_id", "salt").drop("salt")

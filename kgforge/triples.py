@@ -1,0 +1,104 @@
+"""Stage T — triple construction from linked mentions (SURVEY.md §2.A A5/A6).
+
+Emitted predicates (FIXTURES.md §2.4):
+- ``resolved_as``   (entity, resolved_as, curie)         — per linked mention
+- ``co_occurs``     (entity_i, co_occurs, entity_{i+1})  — adjacent mentions
+                    within a turn, ordered by m_idx
+- ``mentions_with`` (first entity of turn t, mentions_with, first entity of
+                    the next mention-bearing turn) — cross-turn adjacency
+                    under the stable (conv_id, turn_idx) ordering invariant
+
+Dedup keeps the FIRST emission per (subj, pred, obj) in
+(conv_id, turn_idx, m_idx) order — deterministic provenance, mirroring the
+bot's first-win statement writes. All ordering flows through window
+specifications, never physical row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TRIPLE_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "confidence"]
+
+
+def build_raw_triples(linked: DataFrame) -> DataFrame:
+    """linked(conv_id, turn_idx, m_idx, entity_id, curie, prior) → raw triples."""
+    resolved = linked.select(
+        F.col("entity_id").alias("subj"),
+        F.lit("resolved_as").alias("pred"),
+        F.col("curie").alias("obj"),
+        "conv_id",
+        "turn_idx",
+        "m_idx",
+        F.col("prior").alias("confidence"),
+    )
+
+    w_turn = Window.partitionBy("conv_id", "turn_idx").orderBy("m_idx")
+    co = (
+        linked.withColumn("next_entity", F.lead("entity_id").over(w_turn))
+        .where(F.col("next_entity").isNotNull())
+        .select(
+            F.col("entity_id").alias("subj"),
+            F.lit("co_occurs").alias("pred"),
+            F.col("next_entity").alias("obj"),
+            "conv_id",
+            "turn_idx",
+            "m_idx",
+            F.col("prior").alias("confidence"),
+        )
+    )
+
+    w_rank = Window.partitionBy("conv_id", "turn_idx").orderBy("m_idx")
+    firsts = (
+        linked.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select("conv_id", "turn_idx", "m_idx", "entity_id", "prior")
+    )
+    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    mw = (
+        firsts.withColumn("next_entity", F.lead("entity_id").over(w_conv))
+        .where(F.col("next_entity").isNotNull())
+        .select(
+            F.col("entity_id").alias("subj"),
+            F.lit("mentions_with").alias("pred"),
+            F.col("next_entity").alias("obj"),
+            "conv_id",
+            "turn_idx",
+            "m_idx",
+            F.col("prior").alias("confidence"),
+        )
+    )
+    return resolved.unionByName(co).unionByName(mw)
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """First-emission dedup per (subj, pred, obj); provenance kept."""
+    w = Window.partitionBy("subj", "pred", "obj").orderBy(
+        "conv_id", "turn_idx", "m_idx"
+    )
+    return (
+        triples.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(*TRIPLE_COLS)
+    )
+
+
+def build_nodes(triples: DataFrame) -> DataFrame:
+    """Node table: canonical id + out/in degree (SURVEY.md §1.2)."""
+    out_deg = triples.groupBy(F.col("subj").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_deg = (
+        triples.where(~F.col("obj").contains(":"))
+        .groupBy(F.col("obj").alias("node_id"))
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+    )
+    return (
+        out_deg.join(in_deg, "node_id", "full")
+        .select(
+            "node_id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
