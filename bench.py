@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Headline benchmark — the driver's per-round feedback loop.
+
+Runs the flagship KG pipeline plus a representative slice of the operator
+surface at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...extras}
+
+Each query is timed to full materialization via the `noop` datasource
+(executes the whole plan, writes nothing — isolates engine time from
+driver-side collect/parquet-write overhead). Extras carried in the same
+line: end-to-end triples/sec for the flagship stage and input row counts,
+so rounds are comparable against BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kgforge.registry import all_ops  # noqa: E402
+from kgforge.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline keys: the end-to-end pipeline (flagship) + the heaviest operator
+# families — joins (broadcast/SMJ/salted), shuffles (agg/window), the CC
+# fixpoint, UDF extraction, and the training-data ops (dedup / similarity /
+# text analysis). Keys missing from the registry are skipped so bench.py
+# never breaks mid-build.
+HEADLINE = [
+    "pipe_triples",       # flagship: extract → link → canonicalize → dedup
+    "udf_mentions",       # Arrow-batch UDF extraction stage alone
+    "graph_cc",           # iterative connected components
+    "join_smj",           # big-big sort-merge join
+    "join_salted",        # skew-salted join
+    "join_broadcast",     # dictionary-style broadcast join
+    "agg_group",          # shuffle hash aggregate
+    "win_rank",           # window rank over (conv, turn)
+    "dedup_minhash",      # MinHash-LSH near-dup over documents
+    "dedup_exact",        # exact hash dedup
+    "sim_topk_cosine",    # brute-force cosine top-k over embeddings
+    "text_quality",       # text quality scoring
+    "stream_tumble_batch",  # windowed agg (batch mirror of streaming)
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    return wall, -1
+
+
+def main() -> int:
+    spark = get_spark(master=f"local[{CPUS}]", app_name="kgforge-bench")
+    ops = all_ops()
+
+    # Warm the JVM + parquet footers once so q1 isn't charged JIT cost.
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    for key in HEADLINE:
+        spec = ops.get(key)
+        if spec is None:
+            continue
+        wall, _ = time_query(spec.fn, spark, SF_DIR)
+        queries[key] = round(wall, 3)
+
+    # End-to-end throughput: triples/sec for the flagship run (turns in /
+    # triples out per wall second of the full pipeline stage).
+    if "pipe_triples" in queries:
+        tri = ops["pipe_triples"].fn(spark, SF_DIR)
+        n_triples = tri.count()
+        extras["triples"] = n_triples
+        extras["triples_per_sec"] = round(n_triples / queries["pipe_triples"], 1)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "kgforge headline suite (end-to-end KG pipeline + operator surface)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,68 @@
+"""Physical-plan assertions (SURVEY.md §4.2): the declarative code must
+actually produce the plans the 100 TB design depends on — pushed filters,
+pruned scans, broadcast where forced, sort-merge where hinted."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgforge import link
+from kgforge.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = load(spark, SF, "lineitem").where(F.col("l_quantity") > 30).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+
+
+def test_column_pruning(spark):
+    df = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # ReadSchema carries only the projected columns
+    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in readschema and "l_quantity" in readschema
+    assert "l_extendedprice" not in readschema
+
+
+def test_link_head_is_broadcast_join(spark, spark_corpus):
+    tr, d, _ = spark_corpus
+    mentions = tr.select(
+        "conv_id", "turn_idx", F.lit(0).alias("m_idx"), F.col("text").alias("surface")
+    )
+    head, _tail = link.split_dictionary(d)
+    plan = _plan(mentions.join(F.broadcast(head), "surface", "inner"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_link_tail_is_sort_merge_join(spark, spark_corpus):
+    tr, d, _ = spark_corpus
+    mentions = tr.select(
+        "conv_id", "turn_idx", F.lit(0).alias("m_idx"), F.col("text").alias("surface")
+    )
+    _head, tail = link.split_dictionary(d)
+    plan = _plan(mentions.hint("merge").join(tail, "surface", "inner"))
+    assert "SortMergeJoin" in plan
+
+
+def test_agg_is_partial_plus_final(spark):
+    """Map-side combine: the plan must contain the partial/final HashAggregate
+    pair around one Exchange — a full-shuffle agg would melt at 100 TB."""
+    df = (
+        load(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tree = _plan(df).split("\n\n")[0]  # formatted-explain tree section
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
