@@ -204,3 +204,140 @@ def pipe_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples.build_nodes(pipe_triples(spark, sf_dir))
+
+
+# ----------------------------------------------------------------- UDF pane
+_CONV_FP_SQL = (
+    _PRELUDE
+    + """
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           md5(string_agg(text, chr(1) ORDER BY turn_idx)) AS convo_fp
+    FROM transcripts GROUP BY conv_id
+    """
+)
+
+
+@register(
+    "udf_extract_conv",
+    sql=_CONV_FP_SQL,
+    doc=(
+        "Grouped-map applyInPandas per conversation: sorts the group by "
+        "turn_idx IN PYTHON and fingerprints the concatenated text — the "
+        "md5 only matches the oracle if per-turn ordering is stable end-to-"
+        "end (the contract's text-equality invariant, BASELINE.json)."
+    ),
+)
+def udf_extract_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    tr = corpus.derive_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        joined = "\x01".join(pdf["text"].tolist())
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n_turns": [len(pdf)],
+                "n_chars": [int(pdf["text"].str.len().sum())],
+                "convo_fp": [hashlib.md5(joined.encode()).hexdigest()],
+            }
+        )
+
+    return tr.groupBy("conv_id").applyInPandas(
+        per_conv, "conv_id string, n_turns long, n_chars long, convo_fp string"
+    )
+
+
+@register(
+    "udf_score_arrow",
+    sql=_PRELUDE + ",\n" + _MENTIONS_CTE + ",\n" + _LINKED_CTE
+    + """
+    SELECT conv_id, turn_idx, m_idx, entity_id,
+           prior * (1 + length(surface) / 100.0) AS score
+    FROM linked
+    """,
+    doc=(
+        "mapInArrow candidate scoring: whole RecordBatches transformed with "
+        "pyarrow.compute kernels (no pandas conversion, no per-row Python) — "
+        "the 'scored in Arrow batches' contract path (BASELINE.json)."
+    ),
+)
+def udf_score_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tr = corpus.derive_transcripts(spark, sf_dir)
+    d = corpus.derive_dictionary(spark, sf_dir)
+    linked = link.link_mentions(extract.extract_mentions(tr, d), d).select(
+        "conv_id", "turn_idx", "m_idx", "entity_id", "surface", "prior"
+    )
+
+    def score(batches):
+        for batch in batches:
+            ln = pc.cast(pc.utf8_length(batch.column("surface")), pa.float64())
+            score = pc.multiply(
+                batch.column("prior"),
+                pc.add(pa.scalar(1.0), pc.divide(ln, pa.scalar(100.0))),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("conv_id"),
+                    batch.column("turn_idx"),
+                    batch.column("m_idx"),
+                    batch.column("entity_id"),
+                    score,
+                ],
+                names=["conv_id", "turn_idx", "m_idx", "entity_id", "score"],
+            )
+
+    return linked.mapInArrow(
+        score, "conv_id string, turn_idx int, m_idx int, entity_id string, score double"
+    )
+
+
+# ----------------------------------------------------------------- sink pane
+@register(
+    "scan_snapshot",
+    sql=None,  # weak: snapshot identity isn't SQL-expressible over the raw files
+    doc=(
+        "Snapshot-isolated scan with time travel: write two snapshots to a "
+        "scratch warehouse, read back the FIRST via its snapshot id "
+        "(Iceberg-semantics fallback, kgforge/io/tableio.py)."
+    ),
+)
+def scan_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kgforge.io.tableio import Warehouse
+
+    wh = Warehouse(tempfile.mkdtemp(prefix="kgforge_snap_"))
+    tr = corpus.derive_transcripts(spark, sf_dir)
+    first = wh.write_snapshot("transcripts", tr)
+    wh.write_snapshot("transcripts", tr.limit(10))
+    return wh.read(spark, "transcripts", snapshot=first)
+
+
+@register(
+    "sink_merge",
+    sql=None,  # weak: idempotence is asserted in pytest (tests/test_tableio.py)
+    doc=(
+        "Idempotent MERGE INTO sink: merge the same triple set twice into a "
+        "scratch warehouse; the returned table must equal a single merge "
+        "(re-run safety of the materialize stage)."
+    ),
+)
+def sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kgforge.io.tableio import Warehouse
+
+    wh = Warehouse(tempfile.mkdtemp(prefix="kgforge_merge_"))
+    tri = pipe_triples(spark, sf_dir)
+    wh.merge(spark, "triples", tri, keys=["subj", "pred", "obj"])
+    wh.merge(spark, "triples", tri, keys=["subj", "pred", "obj"])
+    return wh.read(spark, "triples")

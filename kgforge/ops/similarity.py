@@ -1,1 +1,524 @@
-"""similarity ops — filled in by later milestones."""
+"""Deduplication + similarity-search operators for a training-data pipeline:
+exact dedup, MinHash+LSH, SimHash, blocked n-gram Jaccard, embedding-cosine
+near-dup, brute-force cosine top-k, and random-hyperplane LSH bucketing.
+
+Every operator is pure `pyspark.sql.functions` (whole-stage codegen; no
+Python in the hot path) and carries a value-exact DuckDB oracle. Two
+determinism tricks make full oracles possible:
+
+- **String minhash**: the "random permutation" is md5(seed || shingle) and the
+  minimum is taken in LEXICOGRAPHIC order — md5 hex strings are identical in
+  every engine, so signatures compare exactly (no engine-specific xxhash).
+- **Fixed-point cosine**: embeddings are quantized to integers
+  (round(x * 1000)); integer dot products are exact in doubles (< 2^53), and
+  sqrt/division are correctly-rounded IEEE ops — so cosine scores are
+  bit-identical across engines regardless of summation order.
+
+Scale shape (the part that matters at 100 TB):
+- dedup_exact / fingerprints: map-side hash + one shuffle on the hash key.
+- MinHash LSH: signatures are per-row (scan-speed); candidate generation is
+  a self-join on band keys — the shuffle is on O(docs × bands) small rows,
+  never on all-pairs. Verification touches only candidate pairs.
+- SimHash: per-row signature + nibble-band join (pigeonhole: hamming ≤ 3 over
+  16 bits ⇒ some 4-bit band matches exactly).
+- Embedding ANN: brute force only within a block/bucket (label block here,
+  LSH bucket in sim_lsh_cosine); the scale path is bucket-then-verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgforge.registry import register
+from kgforge.tables import load
+
+MINHASH_K = 8  # signature length
+MINHASH_BANDS = 4  # bands of 2 rows each
+SHINGLE = 3  # tokens per shingle
+JACCARD_T = 0.5  # minhash verify threshold
+SIMHASH_BITS = 32  # 16 bits collides heavily on shared-vocab corpora
+HAMMING_T = 3
+QUANT = 1000  # fixed-point scale for embeddings
+
+_HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------- shingles
+def _shingles(text: Column) -> Column:
+    """3-token shingles (whole text if shorter) — distinct set."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - SHINGLE, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)))
+    )
+
+
+_SHINGLES_SQL = """
+    list_distinct(list_transform(
+      generate_series(1, greatest(length(string_split(text, ' ')) - {m}, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i + {m}], ' ')
+    ))
+""".format(m=SHINGLE - 1)
+
+
+# ---------------------------------------------------------------- exact
+@register(
+    "dedup_exact",
+    sql="""
+    WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    g AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+          FROM h GROUP BY fp)
+    SELECT h.doc_id, g.canonical_id, CAST(g.group_size AS BIGINT) AS group_size
+    FROM h JOIN g USING (fp)
+    WHERE g.group_size > 1 AND h.doc_id <> g.canonical_id
+    """,
+    doc="Exact dedup: hash-groupBy on md5(text); emits (dup → canonical).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = load(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("fp"))
+    g = h.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        h.join(g, "fp")
+        .where((F.col("group_size") > 1) & (F.col("doc_id") != F.col("canonical_id")))
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+def _minhash_sig_spark(sh: Column) -> list[Column]:
+    return [
+        F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{i}|"), x)))).alias(
+            f"h{i}"
+        )
+        for i in range(MINHASH_K)
+    ]
+
+
+def _minhash_sig_sql() -> str:
+    cols = ",\n".join(
+        f"list_min(list_transform(sh, x -> md5('{i}|' || x))) AS h{i}"
+        for i in range(MINHASH_K)
+    )
+    return cols
+
+
+@register(
+    "dedup_minhash",
+    sql=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    sig AS (SELECT doc_id, sh, {_minhash_sig_sql()} FROM sh),
+    bands AS (
+      SELECT doc_id, b, md5(CAST(b AS VARCHAR) || '|' ||
+             CASE b WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+                    WHEN 2 THEN h4 || h5 ELSE h6 || h7 END) AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, {MINHASH_BANDS - 1})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(length(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (length(x.sh) + length(y.sh) - length(list_intersect(x.sh, y.sh)))
+             AS jaccard
+    FROM cand c
+    JOIN sh x ON c.doc_a = x.doc_id
+    JOIN sh y ON c.doc_b = y.doc_id
+    WHERE CAST(length(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / (length(x.sh) + length(y.sh) - length(list_intersect(x.sh, y.sh)))
+          >= {JACCARD_T}
+    """,
+    doc=(
+        "MinHash+LSH near-dup: lexicographic-min md5 signatures (engine-"
+        "portable), 4 bands × 2 rows, band-bucket self-join for candidates, "
+        "exact-Jaccard verification of candidates only."
+    ),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    sig = docs.select("doc_id", "sh", *_minhash_sig_spark(F.col("sh")))
+    band_cols = []
+    for b in range(MINHASH_BANDS):
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("b"),
+                F.md5(
+                    F.concat(F.lit(f"{b}|"), F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                ).alias("band_key"),
+            )
+        )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band_key").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def _nibble_val_sql(h: str, i: int) -> str:
+    return f"(strpos('{_HEX}', substr({h}, {i}, 1)) - 1)"
+
+
+@register(
+    "dedup_simhash",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    tv AS (
+      SELECT doc_id,
+             {" + ".join(
+                 f"{_nibble_val_sql('substr(md5(tok), 1, 8)', i + 1)} * {16 ** (7 - i)}"
+                 for i in range(8)
+             )} AS v
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST({" + ".join(
+                 f"CASE WHEN sum(CASE WHEN (v // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END) > 0"
+                 f" THEN {1 << k} ELSE 0 END"
+                 for k in range(SIMHASH_BITS)
+             )} AS BIGINT) AS simhash
+      FROM tv GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, b, (simhash // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 256
+                                              WHEN 2 THEN 65536 ELSE 16777216 END)) % 256
+             AS nib
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_T}
+    """,
+    doc=(
+        "SimHash near-dup: 16-bit per-doc signature (majority vote over token "
+        "hash bits), nibble-band LSH join (pigeonhole guarantees recall at "
+        "hamming ≤ 3), exact hamming verification."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h8 = F.substring(F.md5("tok"), 1, 8)
+    v = sum(
+        (F.instr(F.lit(_HEX), F.substring(h8, i + 1, 1)) - 1).cast("long")
+        * F.lit(16 ** (7 - i)).cast("long")
+        for i in range(8)
+    )
+    tv = tok.select("doc_id", v.alias("v"))
+    bit_sums = [
+        F.sum(
+            F.when((F.col("v").cast("long") / (1 << k)).cast("long") % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    sig = tv.groupBy("doc_id").agg(*bit_sums)
+    simhash = sum(
+        F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        for k in range(SIMHASH_BITS)
+    )
+    sig = sig.select("doc_id", simhash.cast("long").alias("simhash"))
+    nib_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            ((F.col("simhash") / (256 ** b)).cast("long") % 256).alias("nib"),
+        )
+        for b in range(4)
+    ]
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*nib_structs)).alias("bn")
+    ).select("doc_id", "simhash", F.col("bn.b").alias("b"), F.col("bn.nib").alias("nib"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= HAMMING_T).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+@register(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SHINGLES_SQL} AS sh,
+             length(string_split(text, ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh)))
+             AS jaccard
+    FROM d a JOIN d b
+      ON a.source = b.source AND a.n_tok = b.n_tok AND a.doc_id < b.doc_id
+    WHERE length(list_intersect(a.sh, b.sh)) > 0
+    """,
+    doc=(
+        "Blocked n-gram Jaccard: candidate pairs from a cheap (source, token "
+        "count) blocking key — the all-pairs quadratic is confined to blocks."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        _shingles(F.col("text")).alias("sh"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.n_tok") == F.col("b.n_tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(inter > 0)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- cosine
+def _quant(col) -> Column:
+    """Fixed-point embedding: float[] → long[] (exact cross-engine arithmetic)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+_QUANT_SQL = (
+    "list_transform({c}, x -> CAST(round(CAST(x AS DOUBLE) * " + str(QUANT) + ") AS BIGINT))"
+)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _cos(qa: Column, qb: Column) -> Column:
+    return _dot(qa, qb).cast("double") / (
+        F.sqrt(_dot(qa, qa).cast("double")) * F.sqrt(_dot(qb, qb).cast("double"))
+    )
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "dedup_embed_cosine",
+    sql=f"""
+    WITH q AS (SELECT vec_id, label, {_QUANT_SQL.format(c='embedding')} AS qv
+               FROM embeddings)
+    SELECT vec_id, nn_id, cos FROM (
+      SELECT a.vec_id, b.vec_id AS nn_id,
+             {_COS_SQL.format(a='a.qv', b='b.qv')} AS cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_COS_SQL.format(a='a.qv', b='b.qv')} DESC, b.vec_id
+             ) AS rn
+      FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "Embedding near-dup: nearest neighbor by exact fixed-point cosine "
+        "within a label block (block-then-verify — the LSH bucket replaces the "
+        "label at scale)."
+    ),
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _quant(F.col("embedding")).alias("qv")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    cos = _cos(F.col("a.qv"), F.col("b.qv"))
+    w = Window.partitionBy("a.vec_id").orderBy(F.desc("cos"), F.col("nn_id"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nn_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("nn_id"))
+        ))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "cos")
+    )
+
+
+N_QUERIES = 16
+TOP_K = 5
+
+
+@register(
+    "sim_topk_cosine",
+    sql=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL.format(c='embedding')} AS qv
+               FROM embeddings)
+    SELECT vec_id, nn_id, cos, CAST(rn AS INT) AS rank FROM (
+      SELECT a.vec_id, b.vec_id AS nn_id,
+             {_COS_SQL.format(a='a.qv', b='b.qv')} AS cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_COS_SQL.format(a='a.qv', b='b.qv')} DESC, b.vec_id
+             ) AS rn
+      FROM (SELECT * FROM q WHERE vec_id < {N_QUERIES}) a
+      JOIN q b ON a.vec_id <> b.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc=(
+        "Brute-force cosine top-k (the ANN correctness baseline): query set × "
+        "full corpus, rank-k window. The big side streams; only the small "
+        "query side is broadcast — at scale this is the verify stage after "
+        "IVF/LSH candidate pruning."
+    ),
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qv")
+    )
+    queries = q.where(F.col("vec_id") < N_QUERIES)
+    a, b = queries.alias("a"), q.alias("b")
+    cos = _cos(F.col("a.qv"), F.col("b.qv"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nn_id"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("nn_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("vec_id", "nn_id", "cos", "rank")
+    )
+
+
+N_PLANES = 8
+
+
+def _plane_weight_sql(p: int) -> str:
+    # deterministic pseudo-random weight in [-32768, 32767] from md5(plane|dim);
+    # i in the SQL mirror is 1-based (generate_series), dims are 0-based
+    h = f"substr(md5('{p}|' || CAST(i - 1 AS VARCHAR)), 1, 4)"
+    return (
+        f"({_nibble_val_sql(h, 1)} * 4096 + {_nibble_val_sql(h, 2)} * 256 "
+        f"+ {_nibble_val_sql(h, 3)} * 16 + {_nibble_val_sql(h, 4)} - 32768)"
+    )
+
+
+def _plane_weights_spark(p: int, dims: int) -> Column:
+    # same construction as the SQL mirror, precomputed driver-side (tiny)
+    import hashlib
+
+    return F.array(
+        *[
+            F.lit(int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:4], 16) - 32768)
+            for d in range(dims)
+        ]
+    )
+
+
+@register(
+    "sim_lsh_cosine",
+    sql=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL.format(c='embedding')} AS qv
+               FROM embeddings),
+    proj AS (
+      SELECT vec_id, qv,
+             {" + ".join(
+                 f"(CASE WHEN list_sum(list_transform(generate_series(1, length(qv)), "
+                 f"i -> qv[i] * {_plane_weight_sql(p)})) > 0 THEN {1 << p} ELSE 0 END)"
+                 for p in range(N_PLANES)
+             )} AS bucket
+      FROM q
+    )
+    SELECT vec_id, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+    FROM proj
+    """,
+    doc=(
+        "Random-hyperplane LSH for cosine: 8 deterministic md5-derived planes "
+        "→ 8-bit bucket per vector (exact integer projections, engine-"
+        "portable). The scale path: candidate pairs come from bucket "
+        "equality, then exact-cosine verify (see sim_topk_cosine)."
+    ),
+)
+def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    bucket = None
+    for p in range(N_PLANES):
+        w = _plane_weights_spark(p, dims)
+        proj = F.aggregate(
+            F.zip_with(F.col("qv"), w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    withb = q.select("vec_id", bucket.cast("int").alias("bucket"))
+    wcnt = Window.partitionBy("bucket")
+    return withb.select(
+        "vec_id", "bucket", F.count(F.lit(1)).over(wcnt).alias("bucket_size")
+    )

@@ -1,1 +1,195 @@
-"""text ops — filled in by later milestones."""
+"""Text-analysis operators for a large-scale training-data pipeline:
+token counting, quality scoring, language ID, and document fingerprinting —
+all pure JVM built-ins (no Python in the hot path), each with a value-exact
+DuckDB oracle over the driver `documents` table.
+
+Scale notes: every op here is embarrassingly parallel per document (narrow,
+no shuffle except final aggregation keys), reads only the columns it needs
+(parquet column pruning), and keeps expressions inside whole-stage codegen.
+At 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge.registry import register
+from kgforge.tables import load
+
+# Deterministic per-language marker lexicons for the heuristic language ID.
+# (The driver documents are synthetic word soup; real-world langid would use
+# char n-gram profiles — the *dataflow* is identical: score per language from
+# token overlap, argmax with a stable tie-break.)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+@register(
+    "text_tokens",
+    sql="""
+    SELECT doc_id,
+           CAST(length(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT)
+             AS bpe_ish_tokens,
+           CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace split + a BPE-ish regex segmentation.",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)
+            )
+        ).alias("bpe_ish_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS INT) AS n_chars,
+           CAST(length(toks) AS INT) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / length(toks) AS mean_token_len,
+           CAST(length(list_filter(toks, x -> list_contains({STOPWORDS!r}, x)))
+                AS DOUBLE) / length(toks) AS stopword_ratio,
+           CAST(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+             / greatest(n_chars, 1) AS punct_ratio,
+           CAST(length(text) BETWEEN 20 AND 10000 AS BOOLEAN) AS len_ok
+    FROM t
+    """,
+    doc=(
+        "Quality scoring: length, mean token length, stopword ratio, "
+        "punctuation ratio, length gate — the C4/Gopher-style filter features."
+    ),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (F.length("text").cast("double") / F.size(toks)).alias("mean_token_len"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / F.size(toks)
+        ).alias("stopword_ratio"),
+        (
+            F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), F.lit(0))).cast(
+                "double"
+            )
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+        F.length("text").between(20, 10000).alias("len_ok"),
+    )
+
+
+def _lang_score_spark(lang: str):
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(F.split("text", " "), markers))
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"length(list_intersect(list_distinct(string_split(text, ' ')), "
+        f"{LANG_MARKERS[lang]!r}))"
+    )
+
+
+@register(
+    "text_langid",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang AS label_lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang,
+           CAST(greatest(s_en, s_de, s_es, s_fr) AS INT) AS score
+    FROM scored
+    """,
+    doc=(
+        "Heuristic language ID: marker-token overlap per language, argmax "
+        "with fixed tie order (en > de > es > fr)."
+    ),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        _lang_score_spark("en").alias("s_en"),
+        _lang_score_spark("de").alias("s_de"),
+        _lang_score_spark("es").alias("s_es"),
+        _lang_score_spark("fr").alias("s_fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), F.lit("de"))
+        .when(F.col("s_es") >= F.col("s_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select(
+        "doc_id",
+        "label_lang",
+        pred.alias("pred_lang"),
+        F.greatest("s_en", "s_de", "s_es", "s_fr").cast("int").alias("score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS content_fp,
+           md5(text) AS exact_fp
+    FROM documents
+    """,
+    doc=(
+        "Document fingerprinting: exact hash + an order/duplication-insensitive "
+        "content hash (sorted distinct token stream) — the cheap first stage of "
+        "corpus-level dedup."
+    ),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " "))))
+        ).alias("content_fp"),
+        F.md5("text").alias("exact_fp"),
+    )

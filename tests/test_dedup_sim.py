@@ -1,0 +1,101 @@
+"""Functional gates for the dedup / similarity family: plant known
+duplicates and near-duplicates in a synthetic documents/embeddings pair and
+assert each operator finds exactly them (the DuckDB oracle checks
+cross-engine agreement; these check the operators catch what they claim)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.ops import similarity, text
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("planted")
+    rng = random.Random(5)
+    words = [f"w{i:03d}" for i in range(400)]
+    docs = []
+    for i in range(60):
+        toks = [words[rng.randrange(400)] for _ in range(30)]
+        docs.append((i, " ".join(toks), "en", f"src{i % 3}", len(" ".join(toks))))
+    base = docs[0][1]
+    near = base.rsplit(" ", 1)[0] + " zzz"  # one-token edit of doc 0
+    docs.append((9000, base, "en", "src0", len(base)))      # exact dup of 0
+    docs.append((9001, near, "en", "src0", len(near)))      # near dup of 0
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(root / "documents.parquet"))
+
+    embs = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        embs.append((i, v, i % 4))
+    embs.append((9000, [x * 1.5 for x in embs[0][1]], 0))  # cosine ≈ 1 with vec 0
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
+    return str(root)
+
+
+def test_dedup_exact_finds_planted_dup(spark, planted):
+    rows = similarity.dedup_exact(spark, planted).collect()
+    assert {(r["doc_id"], r["canonical_id"]) for r in rows} == {(9000, 0)}
+
+
+def test_dedup_minhash_finds_near_dup(spark, planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in similarity.dedup_minhash(spark, planted).collect()
+    }
+    assert (0, 9000) in pairs and pairs[(0, 9000)] == 1.0  # exact dup
+    assert (0, 9001) in pairs and pairs[(0, 9001)] > 0.8  # one-token edit
+    assert (9000, 9001) in pairs
+
+
+def test_dedup_simhash_near_dup_has_small_hamming(spark, planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in similarity.dedup_simhash(spark, planted).collect()
+    }
+    assert pairs[(0, 9000)] == 0  # identical token set → identical signature
+
+
+def test_dedup_embed_cosine_nearest_is_scaled_copy(spark, planted):
+    rows = {r["vec_id"]: (r["nn_id"], r["cos"]) for r in
+            similarity.dedup_embed_cosine(spark, planted).collect()}
+    nn, cos = rows[0]
+    assert nn == 9000 and cos > 0.999
+    nn, cos = rows[9000]
+    assert nn == 0 and cos > 0.999
+
+
+def test_sim_topk_rank1_is_scaled_copy(spark, planted):
+    rows = similarity.sim_topk_cosine(spark, planted).collect()
+    rank1 = {r["vec_id"]: r["nn_id"] for r in rows if r["rank"] == 1}
+    assert rank1[0] == 9000
+
+
+def test_sim_lsh_copies_share_bucket(spark, planted):
+    rows = {r["vec_id"]: r["bucket"] for r in
+            similarity.sim_lsh_cosine(spark, planted).collect()}
+    assert rows[0] == rows[9000]  # positive scaling preserves all plane signs
+
+
+def test_text_fingerprint_exact_vs_content(spark, planted):
+    rows = {r["doc_id"]: (r["exact_fp"], r["content_fp"]) for r in
+            text.text_fingerprint(spark, planted).collect()}
+    assert rows[0][0] == rows[9000][0]  # exact dup → same exact fp
+    assert rows[0][1] != rows[9001][1]  # edit changes content fp
+    assert rows[0][0] != rows[9001][0]
+
+
+def test_text_quality_features_sane(spark, planted):
+    rows = text.text_quality(spark, planted).collect()
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0

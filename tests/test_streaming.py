@@ -1,0 +1,67 @@
+"""Structured Streaming gate: micro-batch replay of the events table must
+reproduce the batch results (the batch ops are themselves DuckDB-verified,
+so equality here closes the loop streaming → batch → oracle)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kgforge.io.tableio import Warehouse
+from kgforge.streaming import jobs
+from kgforge.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    from kgforge.ops.streaming_batch import stream_tumble_batch
+
+    stream = jobs.events_stream(spark, SF)
+    got = jobs.run_available_now(
+        jobs.tumbling_counts(stream), "complete", "tumble_test"
+    )
+    want = stream_tumble_batch(spark, SF)
+    cols = ["wstart", "wend", "event_type", "n", "total"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_dedup_drops_duplicates(spark):
+    ev = load(spark, SF, "events")
+    n_distinct = ev.select("event_id").distinct().count()
+    stream = jobs.events_stream(spark, SF)
+    got = jobs.run_available_now(jobs.dedup_stream(stream), "append", "dedup_test")
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stateful_counts_reach_batch_totals(spark):
+    """applyInPandasWithState emits a running count per batch; the final
+    (max) count per user must equal the batch groupBy count."""
+    stream = jobs.events_stream(spark, SF)
+    got = jobs.run_available_now(
+        jobs.stateful_user_counts(stream), "update", "state_test"
+    )
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    want = load(spark, SF, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert _rows(final, ["user_id", "n"]) == _rows(want, ["user_id", "n"])
+
+
+def test_foreach_batch_merge_sink_idempotent(spark):
+    root = tempfile.mkdtemp(prefix="kgforge_stream_wh_")
+    stream = jobs.events_stream(spark, SF)
+    jobs.merge_sink(stream, root, "events_sink", keys=["event_id"])
+    wh = Warehouse(root)
+    n1 = wh.read(spark, "events_sink").count()
+    # replay the whole stream again (fresh checkpoint): merge must no-op
+    stream2 = jobs.events_stream(spark, SF)
+    jobs.merge_sink(stream2, root, "events_sink", keys=["event_id"])
+    n2 = wh.read(spark, "events_sink").count()
+    assert n1 == n2 == load(spark, SF, "events").select("event_id").distinct().count()
