@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""One scaling-bench run at ONE parallelism level (run in its own process —
+getOrCreate() would silently reuse a session with the wrong master).
+
+    python jobs/bench_scaling.py --cpus 8 --convs 400000 [--data-dir DIR]
+
+Generates (or reuses, keyed by params) a deterministic bench corpus with
+kgforge.synth_spark, then times the full pipeline — extract → link →
+canonicalize → materialize — end-to-end into a fresh warehouse, reporting
+turns/sec and triples/sec as ONE JSON line on stdout.
+
+tools/run_scaling.py orchestrates the local[8] vs local[32] pair and writes
+BENCH/BASELINE.md with the efficiency gate (north rule: ≥ 0.8 from N to 4N).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kgforge import synth_spark  # noqa: E402
+from kgforge.pipeline import PipelineConfig, run_pipeline  # noqa: E402
+from kgforge.session import get_spark  # noqa: E402
+
+DEFAULT_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "BENCH", "data")
+
+
+def ensure_corpus(spark, data_dir: str, convs: int, seed: int) -> dict[str, str]:
+    """Generate the corpus once (with all 32 cores, outside the timed run);
+    reuse across parallelism levels so both runs read identical bytes."""
+    tag = f"c{convs}_s{seed}_sparse"
+    root = os.path.join(data_dir, tag)
+    paths = {k: os.path.join(root, k) for k in ("transcripts", "dictionary", "xrefs")}
+    if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths.values()):
+        return paths
+    tr, d, e = synth_spark.bench_inputs(spark, n_convs=convs, seed=seed)
+    tr.write.mode("overwrite").parquet(paths["transcripts"])
+    d.write.mode("overwrite").parquet(paths["dictionary"])
+    e.write.mode("overwrite").parquet(paths["xrefs"])
+    return paths
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--convs", type=int, default=400_000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--data-dir", default=DEFAULT_DATA)
+    ap.add_argument("--generate-only", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(
+        master=f"local[{args.cpus}]",
+        app_name=f"kgforge-scaling-{args.cpus}",
+        shuffle_partitions=max(args.cpus * 2, 8),
+    )
+    paths = ensure_corpus(spark, args.data_dir, args.convs, args.seed)
+    if args.generate_only:
+        print(json.dumps({"generated": paths}))
+        spark.stop()
+        return 0
+
+    tr = spark.read.parquet(paths["transcripts"])
+    d = spark.read.parquet(paths["dictionary"])
+    e = spark.read.parquet(paths["xrefs"])
+    n_turns = tr.count()  # warm footers; not part of the timed window
+
+    # warehouse on tmpfs: single-disk write bandwidth is a serial bottleneck
+    # a real cluster doesn't have (per-executor disks) — see kgforge/session.py
+    wh_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wh = tempfile.mkdtemp(prefix=f"kgforge_scale_{args.cpus}_", dir=wh_base)
+    cfg = PipelineConfig(
+        warehouse_root=wh,
+        run_id=f"scale-{args.cpus}",
+        num_partitions=max(args.cpus * 2, 8),
+    )
+    t0 = time.time()
+    run_pipeline(spark, tr, d, e, cfg)
+    wall = time.time() - t0
+
+    out = {
+        "cpus": args.cpus,
+        "convs": args.convs,
+        "turns": n_turns,
+        "linked_mentions": cfg.observed.get("linked_rows"),
+        "triples": cfg.observed.get("triples_rows"),
+        "wall_s": round(wall, 2),
+        "turns_per_sec": round(n_turns / wall, 1),
+        "triples_per_sec": round((cfg.observed.get("triples_rows") or 0) / wall, 1),
+    }
+    print(json.dumps(out))
+    shutil.rmtree(wh, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

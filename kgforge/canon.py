@@ -85,6 +85,50 @@ def canonical_map(entities: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+# The same-as graph is ENTITY-bounded: even a 10^12-turn corpus links against
+# a dictionary of at most ~10^7–10^8 entities, so the edge set usually fits
+# the driver comfortably while the iterative DataFrame fixpoint pays
+# O(iterations) shuffle rounds no matter how small the graph is. Below this
+# threshold a driver-side union-find (seconds, exact) wins outright; above
+# it the distributed label propagation takes over. Both produce the
+# identical min-label component map (asserted in tests/test_canon.py).
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def canonical_map_auto(entities: DataFrame, edges: DataFrame) -> DataFrame:
+    """canonical_map with a size-adaptive strategy (see DRIVER_CC_MAX_EDGES)."""
+    n_edges = edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
+    if n_edges > DRIVER_CC_MAX_EDGES:
+        return canonical_map(entities, edges)
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        p = parent.setdefault(x, x)
+        if p != x:
+            p = parent[x] = find(p)
+        return p
+
+    for row in edges.select("src", "dst").toLocalIterator():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict[str, str] = {}
+    for node in parent:
+        r = find(node)
+        if r not in comp_min or node < comp_min[r]:
+            comp_min[r] = node
+    rows = [(node, comp_min[find(node)]) for node in parent]
+    spark = entities.sparkSession
+    ent = entities.select("entity_id").distinct()
+    if not rows:
+        return ent.select("entity_id", F.col("entity_id").alias("canonical_id"))
+    cc = spark.createDataFrame(rows, "node string, component string")
+    return ent.join(F.broadcast(cc), ent.entity_id == cc.node, "left").select(
+        "entity_id", F.coalesce("component", "entity_id").alias("canonical_id")
+    )
+
+
 def remap_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
     """Rewrite subj/obj through the canonical map (two broadcast joins).
 

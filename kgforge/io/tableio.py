@@ -69,6 +69,12 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         return self.latest_snapshot(table) is not None
 
+    def rows(self, table: str, snapshot: str | None = None) -> int:
+        """Row count from the snapshot manifest — no table scan."""
+        snap = snapshot or self.latest_snapshot(table)
+        with open(os.path.join(self._tdir(table), f"{snap}.manifest.json")) as f:
+            return json.load(f)["rows"]
+
     # -- read -------------------------------------------------------------
     def read(self, spark: SparkSession, table: str, snapshot: str | None = None) -> DataFrame:
         snap = snapshot or self.latest_snapshot(table)
@@ -93,11 +99,24 @@ class Warehouse:
         os.makedirs(tdir, exist_ok=True)
         snap = self._next_snapshot_id(table)
         data_dir = os.path.join(tdir, snap)
-        writer = df.write.mode("overwrite")
+        # Row count rides the write action as an observed metric — a second
+        # full read of the snapshot just to count would double the write cost
+        # of every commit at scale.
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        if partition_by:
+            # Align physical partitions with the partition columns first: a
+            # partitioned write from N shuffle partitions × P partition values
+            # otherwise fans out to N×P small files (file-count explosion —
+            # measured as a flat, non-scaling write stage).
+            df = df.repartition(*[F.col(c) for c in partition_by])
+        writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        n_rows = df.sparkSession.read.parquet(data_dir).count()
+        n_rows = obs.get["rows"]
         manifest = {
             "snapshot_id": snap,
             "parent": self.latest_snapshot(table),
@@ -132,6 +151,52 @@ class Warehouse:
         )
         merged = existing.unionByName(inserts)
         return self.write_snapshot(table, merged, partition_by)
+
+    def merge_local(self, table: str, pdf, keys: list[str]) -> str:
+        """Driver-side MERGE for SMALL tables (checkpoint/metrics rows):
+        pyarrow read-modify-write, zero Spark jobs, same snapshot layout so
+        Spark reads it like any other table. Tables here are O(stages ×
+        lineage_parts) rows — launching a distributed job per checkpoint
+        write costs more than the data."""
+        import glob
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pdf.drop_duplicates(subset=keys)
+        if self.exists(table):
+            snap = self.latest_snapshot(table)
+            files = glob.glob(os.path.join(self._tdir(table), snap, "*.parquet"))
+            existing = pd.concat(
+                [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+            )
+            mask = ~pdf.set_index(keys).index.isin(existing.set_index(keys).index)
+            merged = pd.concat([existing, pdf[mask.tolist()]], ignore_index=True)
+        else:
+            merged = pdf
+        tdir = self._tdir(table)
+        os.makedirs(tdir, exist_ok=True)
+        snap = self._next_snapshot_id(table)
+        data_dir = os.path.join(tdir, snap)
+        os.makedirs(data_dir, exist_ok=True)
+        tbl = pa.Table.from_pandas(merged, preserve_index=False)
+        pq.write_table(tbl, os.path.join(data_dir, "part-00000.parquet"))
+        manifest = {
+            "snapshot_id": snap,
+            "parent": self.latest_snapshot(table),
+            "rows": len(merged),
+            "schema": str(tbl.schema).replace("\n", ", "),
+            "committed_at": time.time(),
+            "partition_by": [],
+        }
+        with open(os.path.join(tdir, f"{snap}.manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._latest_file(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(snap)
+        os.replace(tmp, self._latest_file(table))
+        return snap
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)

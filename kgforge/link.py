@@ -17,7 +17,7 @@ wins; ambiguous xrefs resolved by priority).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 HEAD_BUCKETS = 10  # surfaces hashing to bucket < HEAD_SPLIT go to the broadcast head
@@ -43,13 +43,28 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     head_hit = mentions.join(F.broadcast(head), "surface", "inner")
     tail_hit = mentions.hint("merge").join(tail, "surface", "inner")
     cands = head_hit.unionByName(tail_hit)
-    w = Window.partitionBy("conv_id", "turn_idx", "m_idx").orderBy(
-        F.col("prior").desc(), F.col("entity_id").asc()
-    )
+    # rank-1 as a min(struct) aggregate, not a row_number window: the window
+    # forces a full sort shuffle of every candidate row; the aggregate is a
+    # hash agg with map-side partial combine. Negated prior inside the struct
+    # encodes (prior DESC, entity_id ASC) in one lexicographic min.
+    best = F.min(
+        F.struct(
+            (-F.col("prior")).alias("np"),
+            F.col("entity_id").alias("entity_id"),
+            F.col("curie").alias("curie"),
+            F.col("prior").alias("prior"),
+        )
+    ).alias("best")
+    keys = [c for c in mentions.columns]
     return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") == 1)
-        .drop("rank")
+        cands.groupBy(*keys)
+        .agg(best)
+        .select(
+            *keys,
+            F.col("best.entity_id").alias("entity_id"),
+            F.col("best.curie").alias("curie"),
+            F.col("best.prior").alias("prior"),
+        )
     )
 
 

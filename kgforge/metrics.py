@@ -13,6 +13,7 @@ back and anti-joins done partitions out of the input.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +27,68 @@ CHECKPOINT_TABLE = "_checkpoints"
 
 def with_lineage_part(df: DataFrame, key: str = "conv_id", n: int = N_LINEAGE_PARTS) -> DataFrame:
     return df.withColumn("lineage_part", F.pmod(F.xxhash64(key), F.lit(n)).cast("int"))
+
+
+def record_stage_cached(
+    wh: Warehouse, df_cached: DataFrame, stage: str, run_id: str
+) -> None:
+    """Per-lineage-part counters via ONE aggregation over an already-cached
+    DataFrame, landed driver-side with a pyarrow merge (no Spark write job).
+    Use when the stage output is persisted in memory; use
+    record_stage_from_files when it's on disk partitioned by lineage_part."""
+    import pandas as pd
+
+    counts = (
+        df_cached.groupBy("lineage_part")
+        .agg(F.count(F.lit(1)).alias("rows_out"))
+        .toPandas()
+    )
+    counts["run_id"] = run_id
+    counts["stage"] = stage
+    counts["status"] = "done"
+    counts["wall_ms"] = int(time.time() * 1000)
+    wh.merge_local(
+        CHECKPOINT_TABLE,
+        counts[["run_id", "stage", "lineage_part", "rows_out", "status", "wall_ms"]],
+        keys=["run_id", "stage", "lineage_part"],
+    )
+
+
+def record_stage_from_files(
+    wh: Warehouse, table: str, stage: str, run_id: str
+) -> None:
+    """Per-lineage-part counters from the snapshot's parquet FOOTERS — zero
+    Spark jobs. Requires the snapshot to be partitioned by lineage_part
+    (partition-aligned writes guarantee one dir per part). A job-based
+    aggregation of a table we just wrote would re-scan it; at 10^12 turns the
+    metadata already knows the answer."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    snap = wh.latest_snapshot(table)
+    data_dir = os.path.join(wh.root, table, snap)
+    counts: dict[int, int] = {}
+    for part_dir in glob.glob(os.path.join(data_dir, "lineage_part=*")):
+        part = int(part_dir.rsplit("=", 1)[1])
+        n = sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(part_dir, "*.parquet"))
+        )
+        counts[part] = counts.get(part, 0) + n
+    now_ms = int(time.time() * 1000)
+    pdf = pd.DataFrame(
+        {
+            "run_id": run_id,
+            "stage": stage,
+            "lineage_part": list(counts),
+            "rows_out": list(counts.values()),
+            "status": "done",
+            "wall_ms": now_ms,
+        }
+    )
+    wh.merge_local(CHECKPOINT_TABLE, pdf, keys=["run_id", "stage", "lineage_part"])
 
 
 def stage_metrics(df: DataFrame, stage: str, run_id: str) -> DataFrame:

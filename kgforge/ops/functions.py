@@ -248,3 +248,35 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("p_name"), 256).alias("name_sha"),
         F.md5(F.concat_ws("|", "p_brand", "p_type")).alias("stable_id"),
     )
+
+
+@register(
+    "udtf_tokens",
+    sql="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 100
+    """,
+    doc=(
+        "Python UDTF (Spark 4 table function): text → token rows via LATERAL "
+        "join. Completeness row for the UDTF surface; the hot path uses "
+        "explode/mapInPandas instead (per-row Python is the slow path)."
+    ),
+)
+def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split(" ")):
+                yield i, tok
+
+    load(spark, sf_dir, "documents").where(F.col("doc_id") < 100).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    spark.udtf.register("tokenize", Tokenize)
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.token FROM _udtf_docs, LATERAL tokenize(text) t"
+    )

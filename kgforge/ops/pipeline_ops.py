@@ -180,9 +180,14 @@ def pipe_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = corpus.derive_dictionary(spark, sf_dir)
     edges = corpus.derive_xref_edges(spark, sf_dir)
     m = extract.extract_mentions(tr, d)
-    linked = link.link_mentions(m, d)
+    # Catalyst has no cross-branch common-subplan elimination: the three
+    # triple branches + two remap join sides would re-run the extraction UDF
+    # and linking join SIX times (seen in .explain: 6× MapInPandas). Persist
+    # at the linked boundary — the same cut where the real pipeline
+    # materializes to the warehouse for resumability.
+    linked = link.link_mentions(m, d).persist()
     raw = triples.build_raw_triples(linked)
-    cmap = canon.canonical_map(d.select("entity_id"), edges)
+    cmap = canon.canonical_map(d.select("entity_id"), edges).persist()
     remapped = canon.remap_triples(raw, cmap)
     return triples.dedup_triples(remapped)
 

@@ -48,36 +48,51 @@ def run_pipeline(
     """Run all stages; returns the materialized tables (read from warehouse)."""
     wh = Warehouse(cfg.warehouse_root)
     t0 = time.time()
+    t_prev = t0
+
+    def mark(stage: str) -> None:
+        nonlocal t_prev
+        now = time.time()
+        cfg.observed[f"t_{stage}"] = round(now - t_prev, 2)
+        t_prev = now
 
     # ---- stage 1: extract + link (resumable per lineage_part) -----------
     tr = metrics.with_lineage_part(transcripts)
     done = metrics.done_parts(wh, spark, "linked", cfg.run_id)
     todo = metrics.filter_resume(tr, done)
+    # project to the extraction columns BEFORE the shuffle — role/tool/ts
+    # would otherwise ride the repartition + Arrow transfer for nothing
     salted = skew.salted_repartition(
-        todo, cfg.num_partitions, cfg.hot_threshold, cfg.target_rows
+        todo.select("conv_id", "turn_idx", "text"),
+        cfg.num_partitions,
+        cfg.hot_threshold,
+        cfg.target_rows,
     )
     mentions = extract.extract_mentions(salted, dictionary)
-    linked = link.link_mentions(mentions, dictionary)
-    linked = metrics.with_lineage_part(linked)
-    if done is not None and done.limit(1).count() > 0:
-        wh.merge(
-            spark,
-            "linked",
-            linked,
-            keys=["conv_id", "turn_idx", "m_idx"],
-        )
+    linked = metrics.with_lineage_part(
+        link.link_mentions(mentions, dictionary)
+    ).persist()  # materialized by the snapshot write; reused by every branch below
+    resuming = done is not None and done.limit(1).count() > 0
+    if resuming:
+        wh.merge(spark, "linked", linked, keys=["conv_id", "turn_idx", "m_idx"])
+        linked_all = wh.read(spark, "linked").persist()
     else:
+        # unpartitioned write: partitioning `linked` by lineage_part would
+        # cost an extra full shuffle of the biggest table in the pipeline;
+        # resume granularity only needs the checkpoint ROWS, not the layout
         wh.write_snapshot("linked", linked)
-    metrics.record_stage(wh, spark, linked, "linked", cfg.run_id)
-    linked_all = wh.read(spark, "linked")
-    cfg.observed["linked_rows"] = linked_all.count()
+        linked_all = linked  # fresh run: the cache IS the table contents
+    # one cheap aggregation over the cache, landed driver-side (no write job)
+    metrics.record_stage_cached(wh, linked_all, "linked", cfg.run_id)
+    cfg.observed["linked_rows"] = wh.rows("linked")
+    mark("extract_link")
 
-    # ---- stage 2: canonical map (CC over same-as edges) ------------------
-    cmap = canon.canonical_map(
+    # ---- stage 2: canonical map (CC over same-as edges, size-adaptive) ---
+    cmap = canon.canonical_map_auto(
         dictionary.select("entity_id").distinct(), xref_edges
-    )
+    ).persist()
     wh.write_snapshot("canonical_map", cmap)
-    cmap = wh.read(spark, "canonical_map")
+    mark("canonicalize")
 
     # ---- stage 3: triples + canonical remap + dedup + MERGE --------------
     raw = triples.build_raw_triples(linked_all)
@@ -86,14 +101,16 @@ def run_pipeline(
     final = metrics.with_lineage_part(final)
     wh.merge(spark, "triples", final, keys=["subj", "pred", "obj"],
              partition_by=["lineage_part"])
-    metrics.record_stage(wh, spark, wh.read(spark, "triples"), "triples", cfg.run_id)
+    metrics.record_stage_from_files(wh, "triples", "triples", cfg.run_id)
+    mark("triples_merge")
 
     # ---- stage 4: nodes ---------------------------------------------------
     tri = wh.read(spark, "triples")
     nodes = triples.build_nodes(tri)
     wh.merge(spark, "nodes", nodes, keys=["node_id"])
+    mark("nodes")
 
-    cfg.observed["triples_rows"] = tri.count()
+    cfg.observed["triples_rows"] = wh.rows("triples")
     cfg.observed["wall_s"] = time.time() - t0
     return {
         "triples": tri,

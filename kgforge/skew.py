@@ -27,25 +27,18 @@ def salted_repartition(
     hot_threshold: int = 2000,
     target_rows: int = 1000,
 ) -> DataFrame:
-    """Repartition transcripts by (conv_id, salt), splitting hot conversations."""
-    counts = (
-        transcripts.groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("n_turns"))
-        .where(F.col("n_turns") > hot_threshold)
-        .withColumn(
-            "n_splits", F.ceil(F.col("n_turns") / F.lit(target_rows)).cast("int")
-        )
-        .select("conv_id", "n_splits")
-    )
-    with_salt = (
-        transcripts.join(F.broadcast(counts), "conv_id", "left")
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("n_splits").isNotNull(),
-                F.pmod(F.col("turn_idx"), F.col("n_splits")),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("n_splits")
+    """Repartition transcripts by (conv_id, salt), splitting hot conversations.
+
+    Salt derives from the data itself — ``salt = turn_idx // target_rows`` —
+    so a conversation longer than target_rows splits into consecutive-turn
+    slices while short conversations keep salt 0 and stay co-located. No
+    counting pass: the original design paid a full extra scan + broadcast
+    join just to learn which conversations were hot; turn_idx already encodes
+    it. (hot_threshold is kept in the signature for compatibility; splitting
+    is governed by target_rows alone.)
+    """
+    del hot_threshold  # see docstring — turn_idx-derived salting needs no count
+    with_salt = transcripts.withColumn(
+        "salt", (F.col("turn_idx") / F.lit(target_rows)).cast("int")
     )
     return with_salt.repartition(num_partitions, "conv_id", "salt").drop("salt")

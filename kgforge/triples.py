@@ -73,14 +73,29 @@ def build_raw_triples(linked: DataFrame) -> DataFrame:
 
 
 def dedup_triples(triples: DataFrame) -> DataFrame:
-    """First-emission dedup per (subj, pred, obj); provenance kept."""
-    w = Window.partitionBy("subj", "pred", "obj").orderBy(
-        "conv_id", "turn_idx", "m_idx"
-    )
+    """First-emission dedup per (subj, pred, obj); provenance kept.
+
+    Implemented as min(struct) aggregation, NOT a row_number window: head
+    entities make (subj, pred, obj) groups enormously skewed (a popular
+    entity's resolved_as triple recurs once per mention — millions of
+    identical rows in ONE window partition = one straggler task at any
+    parallelism). The aggregate gets map-side partial aggregation, which
+    collapses the duplicates before the shuffle, plus AQE skew handling.
+    min over the struct is lexicographic by field order, i.e. exactly the
+    (conv_id, turn_idx, m_idx) first-emission rule.
+    """
+    prov = F.min(F.struct("conv_id", "turn_idx", "m_idx", "confidence")).alias("prov")
     return (
-        triples.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(*TRIPLE_COLS)
+        triples.groupBy("subj", "pred", "obj")
+        .agg(prov)
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("prov.conv_id").alias("conv_id"),
+            F.col("prov.turn_idx").alias("turn_idx"),
+            F.col("prov.confidence").alias("confidence"),
+        )
     )
 
 

@@ -93,3 +93,18 @@ def test_long_chain_within_max_iter(spark, n_iter_chain):
     edges = [(f"p{i:05d}", f"p{i + 1:05d}") for i in range(n_iter_chain - 1)]
     got = _spark_cc(spark, edges)
     assert set(got.values()) == {"p00000"}
+
+
+def test_auto_matches_distributed(spark):
+    """Driver union-find path and distributed label propagation must produce
+    the identical canonical map (canonical_map_auto strategy switch)."""
+    from kgforge.canon import canonical_map_auto
+
+    rng = random.Random(21)
+    nodes = [f"e{i:03d}" for i in range(150)]
+    edges = [(rng.choice(nodes), rng.choice(nodes), "x") for _ in range(100)]
+    ents = spark.createDataFrame([(n,) for n in nodes], "entity_id string")
+    edf = spark.createDataFrame(edges, "src string, dst string, source string")
+    a = {r["entity_id"]: r["canonical_id"] for r in canonical_map(ents, edf).collect()}
+    b = {r["entity_id"]: r["canonical_id"] for r in canonical_map_auto(ents, edf).collect()}
+    assert a == b
