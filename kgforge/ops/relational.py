@@ -778,3 +778,47 @@ def dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_returnflag", "l_linestatus", F.year("l_shipdate").alias("ship_year")
     ).distinct()
+
+
+@register(
+    "join_bucketed",
+    sql="""
+    SELECT l.l_orderkey AS okey, l.l_linenumber AS lineno,
+           l.l_quantity AS qty, o.o_orderstatus AS status
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc=(
+        "Co-located bucketed join: both sides written bucketBy(orderkey) + "
+        "sortBy into the session catalog, then joined with ZERO exchanges "
+        "(verified in tests/test_plans.py) — the pre-partitioning strategy "
+        "that turns every repeated big-big join into a shuffle-free merge at "
+        "100 TB. Result is value-identical to the plain join (the oracle)."
+    ),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
+    # drop catalog entries AND stale directories (a previous session's
+    # managed-table location survives in spark-warehouse/ and blocks create)
+    wh_dir = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("kgf_lineitem_bucketed", "kgf_orders_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh_dir}/{t}", ignore_errors=True)
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        "kgf_lineitem_bucketed"
+    )
+    od.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        "kgf_orders_bucketed"
+    )
+    a = spark.table("kgf_lineitem_bucketed")
+    b = spark.table("kgf_orders_bucketed")
+    return a.hint("merge").join(b, a.l_orderkey == b.o_orderkey).select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_quantity").alias("qty"),
+        F.col("o_orderstatus").alias("status"),
+    )

@@ -66,3 +66,14 @@ def test_agg_is_partial_plus_final(spark):
     tree = _plan(df).split("\n\n")[0]  # formatted-explain tree section
     assert tree.count("HashAggregate") == 2
     assert tree.count("Exchange") == 1
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucket-aligned tables join with ZERO shuffles (SortMergeJoin directly
+    over bucketed scans) — the co-location strategy for repeated big joins."""
+    from kgforge.ops.relational import join_bucketed
+
+    df = join_bucketed(spark, SF)
+    tree = _plan(df).split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    assert tree.count("Exchange") == 0
