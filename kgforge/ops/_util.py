@@ -19,13 +19,21 @@ DEC = "decimal(18,4)"
 
 
 def dsum(col: Column | str) -> Column:
-    """Exact sum of a money-like double column → double (order-insensitive)."""
+    """Exact sum of a money-like double column → double (order-insensitive).
+
+    The trailing round(2) guards the decimal→double CONVERSION, not the sum:
+    the decimal sums are bit-identical across engines, but DuckDB converts
+    DECIMAL(38,8)→DOUBLE via hugeint/10^8 which double-rounds — at ~5e9
+    magnitude that is a 1-ulp (~5e-7) divergence from Spark's correctly
+    rounded BigDecimal.doubleValue (measured at sf0.1). Money values are
+    exact at 2 decimals, so rounding both sides there removes the ulp.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    return F.round(F.sum(c.cast(DEC)).cast("double"), 2)
 
 
 def dsum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE), 2)"
 
 
 def davg(col: Column | str) -> Column:
@@ -46,11 +54,13 @@ def dmul(a: Column, b: Column) -> Column:
 
 
 def dsum_raw(col: Column) -> Column:
-    """Sum a column that is ALREADY exact decimal (e.g. a dmul product)."""
-    return F.sum(col).cast("double")
+    """Sum a column that is ALREADY exact decimal (e.g. a dmul product).
+    round(2) guards the decimal→double conversion ulp — see dsum."""
+    return F.round(F.sum(col).cast("double"), 2)
 
 
 def dmul_sum_sql(a: str, b: str) -> str:
     return (
-        f"CAST(SUM(CAST({a} AS DECIMAL(18,4)) * CAST({b} AS DECIMAL(18,4))) AS DOUBLE)"
+        f"ROUND(CAST(SUM(CAST({a} AS DECIMAL(18,4)) * CAST({b} AS DECIMAL(18,4)))"
+        f" AS DOUBLE), 2)"
     )

@@ -192,8 +192,18 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_map",
-    sql=None,  # DuckDB map construction/ordering semantics differ; rows-only check
-    doc="Map family: build map from entries, element_at, keys (pytest covers values).",
+    sql="""
+    WITH m AS (
+      SELECT event_id,
+             map(['type','uid'], [event_type, CAST(user_id AS VARCHAR)]) AS pm
+      FROM events
+    )
+    SELECT event_id,
+           pm['type'][1] AS m_type,
+           array_to_string(list_sort(map_keys(pm)), ',') AS keys
+    FROM m
+    """,
+    doc="Map family: build map from entries, element_at, keys — scalar outputs keep the oracle value-exact despite engine map-type differences.",
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
