@@ -29,14 +29,29 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     from kgforge.flagship import run_flagship
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return run_flagship(spark, "/root/testdata/sf0.001")
+
+
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin session confs the oracles depend on: the driver supplies its own
+    SparkSession, and a non-UTC timezone would skew every timestamp compare
+    against DuckDB; Arrow transport must be on for the pandas-UDF ops."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from kgforge.registry import all_ops
 
-    return {k: spec.fn for k, spec in all_ops().items()}
+    return {k: _pinned(spec.fn) for k, spec in all_ops().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -46,9 +46,15 @@ HEADLINE = [
     "win_rank",           # window rank over (conv, turn)
     "dedup_minhash",      # MinHash-LSH near-dup over documents
     "dedup_exact",        # exact hash dedup
+    "dedup_ngram_jaccard",  # blocked n-gram Jaccard
     "sim_topk_cosine",    # brute-force cosine top-k over embeddings
+    "sim_lsh_cosine",     # hyperplane-LSH bucketing (ANN scale path)
     "text_quality",       # text quality scoring
+    "text_langid",        # marker-overlap language ID
+    "mm_features",        # Arrow-batched binary decode plumbing
+    "udf_extract_conv",   # grouped-map conversation fingerprint
     "stream_tumble_batch",  # windowed agg (batch mirror of streaming)
+    "stream_session_batch",  # session windows per user
 ]
 
 

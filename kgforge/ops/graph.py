@@ -54,7 +54,7 @@ def graph_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_idx",
         "prior AS confidence",
     )
-    cmap = canon.canonical_map(d.select("entity_id"), edges)
+    cmap = canon.canonical_map_auto(d.select("entity_id"), edges)
     return canon.remap_triples(resolved, cmap).select(
         "subj", "pred", "obj", "conv_id", "turn_idx", "confidence"
     )

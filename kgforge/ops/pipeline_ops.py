@@ -187,7 +187,7 @@ def pipe_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes to the warehouse for resumability.
     linked = link.link_mentions(m, d).persist()
     raw = triples.build_raw_triples(linked)
-    cmap = canon.canonical_map(d.select("entity_id"), edges).persist()
+    cmap = canon.canonical_map_auto(d.select("entity_id"), edges).persist()
     remapped = canon.remap_triples(raw, cmap)
     return triples.dedup_triples(remapped)
 
