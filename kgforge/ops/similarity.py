@@ -522,3 +522,122 @@ def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return withb.select(
         "vec_id", "bucket", F.count(F.lit(1)).over(wcnt).alias("bucket_size")
     )
+
+
+# ---------------------------------------------------------------- IVF ANN
+IVF_K = 16
+IVF_ITERS = 3
+IVF_NPROBE = 4
+
+
+def ivf_train(q: DataFrame) -> DataFrame:
+    """Train IVF coarse centroids with Lloyd iterations as a DataFrame loop.
+
+    q: (vec_id, qv: array<long>). Returns (cid, cv: array<double>).
+    Init is deterministic (k vectors with smallest md5(vec_id)); each
+    iteration is assign (broadcast centroids × vectors, argmin L2) + update
+    (posexplode to (cid, dim) partial-avg — map-side combinable). At scale
+    the centroid table stays tiny (k × d) while assignment streams the big
+    side with zero shuffle; only the update aggregates."""
+    spark = q.sparkSession
+    init = (
+        q.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(IVF_K)
+        .select("qv")
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in init]
+    for _ in range(IVF_ITERS):
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+        )
+        qa = q.withColumn("qd", F.transform("qv", lambda x: x.cast("double")))
+        d2 = F.aggregate(
+            F.zip_with("qd", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assign = (
+            qa.crossJoin(F.broadcast(cent_df))
+            .withColumn("d2", d2)
+            .groupBy("vec_id", "qd")
+            .agg(F.min(F.struct("d2", "cid")).alias("best"))
+            .select("vec_id", "qd", F.col("best.cid").alias("cid"))
+        )
+        upd = (
+            assign.select("cid", F.posexplode("qd").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in upd:
+            new.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+        cents = [
+            [new[cid][d] for d in range(len(cents[0]))] if cid in new else cents[cid]
+            for cid in range(IVF_K)
+        ]
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    )
+
+
+@register(
+    "sim_ivf_cosine",
+    sql=None,  # iterative k-means isn't SQL-expressible; gated by pytest recall
+    doc=(
+        "IVF approximate nearest neighbor: Lloyd-trained coarse centroids "
+        "(deterministic md5 init, broadcast assignment, partial-avg update), "
+        "queries probe the nprobe nearest cells and exact-cosine-verify only "
+        "those candidates. The scale path: assignment is shuffle-free over "
+        "the big side; recall vs brute force gated in tests/test_dedup_sim.py."
+    ),
+)
+def sim_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    cents = ivf_train(q).persist()
+
+    qa = q.withColumn("qd", F.transform("qv", lambda x: x.cast("double")))
+    d2 = F.aggregate(
+        F.zip_with("qd", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        qa.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"))
+    )
+    inverted = q.join(assign, "vec_id")  # cell lists
+
+    queries = qa.where(F.col("vec_id") < N_QUERIES)
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "cid")
+            ),
+        )
+        .where(F.col("rnk") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv"), "cid")
+    )
+    cand = probes.join(inverted, "cid").where(F.col("q_id") != F.col("vec_id"))
+    cos = _cos(F.col("q_qv"), F.col("qv"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("nn_id"))
+    return (
+        cand.select(
+            F.col("q_id").alias("vec_id_q"), F.col("vec_id").alias("nn_id"), cos.alias("cos")
+        )
+        .withColumnRenamed("vec_id_q", "vec_id")
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("nn_id"))
+        ).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("vec_id", "nn_id", "cos", "rank")
+    )

@@ -193,3 +193,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content_fp"),
         F.md5("text").alias("exact_fp"),
     )
+
+
+@register(
+    "text_trigram_quality",
+    sql="""
+    WITH tri AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(length(text) - 2, 1)),
+               i -> substr(text, i, 3))) AS tg
+      FROM documents
+    ),
+    model AS (SELECT tg, count(*) AS cnt FROM tri GROUP BY tg)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tri,
+           CAST(sum(m.cnt) AS BIGINT) AS familiar_sum,
+           CAST(sum(m.cnt) AS DOUBLE) / count(*) AS familiarity
+    FROM tri t JOIN model m USING (tg)
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Corpus-trained quality score: character-trigram familiarity — mean "
+        "corpus frequency of the document's trigrams (gibberish scores low). "
+        "Two-pass dataflow: global trigram model (one groupBy) joined back to "
+        "per-doc trigram occurrences; all integer sums, so the oracle is "
+        "value-exact (no log-prob float divergence)."
+    ),
+)
+def text_trigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tg"),
+    )
+    model = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tri.join(model, "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum("cnt").alias("familiar_sum"),
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("familiarity"),
+        )
+    )

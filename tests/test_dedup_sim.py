@@ -99,3 +99,26 @@ def test_text_quality_features_sane(spark, planted):
         assert r["n_tokens"] > 0
         assert 0.0 <= r["stopword_ratio"] <= 1.0
         assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_sim_ivf_recall_vs_brute_force(spark):
+    """IVF probe-then-verify must recover a solid fraction of the true
+    top-5 neighbors (brute force = ground truth) on the driver embeddings."""
+    sf = "/root/testdata/sf0.001"
+    truth = {
+        (r["vec_id"], r["nn_id"])
+        for r in similarity.sim_topk_cosine(spark, sf).collect()
+    }
+    approx = {
+        (r["vec_id"], r["nn_id"])
+        for r in similarity.sim_ivf_cosine(spark, sf).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, recall  # random uniform vectors: cells split hard
+
+
+def test_sim_ivf_finds_planted_copy(spark, planted):
+    rows = similarity.sim_ivf_cosine(spark, planted).collect()
+    rank1 = {r["vec_id"]: r["nn_id"] for r in rows if r["rank"] == 1}
+    # the scaled copy points the same direction → same cell → found exactly
+    assert rank1.get(0) == 9000
