@@ -1,0 +1,96 @@
+"""Streaming KG ingestion: transcripts arrive as a stream; each micro-batch
+runs the SAME extract → link dataflow as the batch pipeline and MERGEs into
+the warehouse; canonicalization + triple materialization run on the merged
+table (triples are corpus-level — cross-turn adjacency can span micro-
+batches, so they finalize after ingestion; at production scale this is the
+periodic compaction pass over a continuously-ingested linked table).
+
+Idempotence: mention keys (conv_id, turn_idx, m_idx) are deterministic, so a
+replayed micro-batch (failure/retry) merges to a no-op — the streaming
+equivalent of the bot's create-or-update writes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kgforge import canon, extract, link, metrics, triples
+from kgforge.io.tableio import Warehouse
+
+
+def transcripts_stream(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    n_files: int = 4,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Replay a transcript DataFrame as a file-source stream (micro-batches
+    split by conversation ranges; ascending mtimes fix source order)."""
+    out = tempfile.mkdtemp(prefix="kgforge_tr_replay_")
+    (
+        transcripts.repartitionByRange(n_files, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = int(os.path.getmtime(os.path.join(out, parts[0])))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out, f), (base + i, base + i))
+    schema = transcripts.schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(out)
+    )
+
+
+def ingest(
+    stream: DataFrame,
+    dictionary: DataFrame,
+    warehouse_root: str,
+) -> None:
+    """Drain the transcript stream through extract+link into the warehouse."""
+    wh = Warehouse(warehouse_root)
+
+    def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        mentions = extract.extract_mentions(
+            bdf.select("conv_id", "turn_idx", "text"), dictionary
+        )
+        linked = metrics.with_lineage_part(link.link_mentions(mentions, dictionary))
+        wh.merge(
+            bdf.sparkSession, "linked", linked, keys=["conv_id", "turn_idx", "m_idx"]
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kgforge_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def finalize(
+    spark: SparkSession,
+    dictionary: DataFrame,
+    xref_edges: DataFrame,
+    warehouse_root: str,
+) -> DataFrame:
+    """Post-ingestion compaction: triples + canonicalization over the merged
+    linked table — identical code path to the batch pipeline's stage 3."""
+    wh = Warehouse(warehouse_root)
+    linked_all = wh.read(spark, "linked").persist()
+    raw = triples.build_raw_triples(linked_all)
+    cmap = canon.canonical_map_auto(dictionary.select("entity_id").distinct(), xref_edges)
+    final = metrics.with_lineage_part(
+        triples.dedup_triples(canon.remap_triples(raw, cmap))
+    )
+    wh.merge(spark, "triples", final, keys=["subj", "pred", "obj"],
+             partition_by=["lineage_part"])
+    return wh.read(spark, "triples")

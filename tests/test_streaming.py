@@ -65,3 +65,36 @@ def test_foreach_batch_merge_sink_idempotent(spark):
     jobs.merge_sink(stream2, root, "events_sink", keys=["event_id"])
     n2 = wh.read(spark, "events_sink").count()
     assert n1 == n2 == load(spark, SF, "events").select("event_id").distinct().count()
+
+
+def test_streaming_kg_ingestion_equals_batch(spark, spark_corpus, tmp_path_factory):
+    """Transcripts replayed as micro-batches through the foreachBatch
+    extract+link sink, then compacted, must yield the SAME (subj, pred, obj)
+    set as the one-shot batch pipeline."""
+    from kgforge import canon, extract, link, triples
+    from kgforge.streaming import kg_ingest
+
+    tr, d, e = spark_corpus
+
+    # batch ground truth (same operator chain)
+    m = extract.extract_mentions(tr, d)
+    linked = link.link_mentions(m, d)
+    raw = triples.build_raw_triples(linked)
+    cmap = canon.canonical_map_auto(d.select("entity_id"), e)
+    batch = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in triples.dedup_triples(canon.remap_triples(raw, cmap)).collect()
+    }
+
+    wh_root = str(tmp_path_factory.mktemp("stream_kg"))
+    stream = kg_ingest.transcripts_stream(spark, tr, n_files=4)
+    kg_ingest.ingest(stream, d, wh_root)
+    tri = kg_ingest.finalize(spark, d, e, wh_root)
+    streamed = {(r["subj"], r["pred"], r["obj"]) for r in tri.collect()}
+
+    assert streamed == batch
+    # replay the whole stream again — MERGE must make it a no-op
+    stream2 = kg_ingest.transcripts_stream(spark, tr, n_files=4)
+    kg_ingest.ingest(stream2, d, wh_root)
+    tri2 = kg_ingest.finalize(spark, d, e, wh_root)
+    assert {(r["subj"], r["pred"], r["obj"]) for r in tri2.collect()} == batch
