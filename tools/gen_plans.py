@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Regenerate BENCH/PLANS.md — annotated formatted plans for the
+plan-critical operators. See that file for the audited properties."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from kgforge.session import get_spark
+from kgforge.registry import all_ops
+
+NOTES = {
+    "pipe_triples": (
+        "Flagship. One MapInPandas (extraction runs ONCE — persist at the "
+        "linked cut), broadcast dictionary joins; dedup is min(struct) "
+        "aggregation — SortAggregate (struct buffers aren't hash-aggregable) "
+        "but with the partial/final pair around one Exchange, so duplicates "
+        "collapse map-side and no skewed window partition exists."
+    ),
+    "udf_mentions": "Extraction alone: scan → mapInPandas, no pre-UDF shuffle beyond the salted repartition.",
+    "join_salted": "Salted skew join: one Exchange on the salted key; dimension broadcast after salt-explode.",
+    "join_bucketed": "Co-located bucketed join: SortMergeJoin with ZERO Exchange nodes.",
+    "agg_group": "TPC-H Q1 shape: HashAggregate partial → Exchange → HashAggregate final.",
+    "dedup_minhash": "LSH banding: per-row signatures at scan speed; only the band-key self-join shuffles.",
+    "scan_project": "PushedFilters + narrow ReadSchema on the scan node.",
+}
+
+def main():
+    sp = get_spark(master="local[8]", shuffle_partitions=8, app_name="plans")
+    ops = all_ops()
+    out = ["# BENCH/PLANS — physical-plan audit", "",
+           "`.explain('formatted')` for the plan-critical operators, with the",
+           "property each plan is audited for. Regenerate: `python tools/gen_plans.py`.", ""]
+    for key, note in NOTES.items():
+        df = ops[key].fn(sp, "/root/testdata/sf0.001")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out += [f"## {key}", "", note, "", "```", plan.split("\n\n")[0], "```", ""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    sp.stop()
+
+if __name__ == "__main__":
+    main()
