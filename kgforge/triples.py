@@ -23,7 +23,16 @@ TRIPLE_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "confidence"]
 
 
 def build_raw_triples(linked: DataFrame) -> DataFrame:
-    """linked(conv_id, turn_idx, m_idx, entity_id, curie, prior) → raw triples."""
+    """linked(conv_id, turn_idx, m_idx, entity_id, curie, prior) → raw triples.
+
+    One repartition by conv_id up front: both window shapes downstream —
+    per-turn (conv_id, turn_idx) and per-conversation (conv_id) — are
+    satisfied by hash clustering on conv_id alone, so Spark reuses this
+    single exchange instead of shuffling the linked table once per window.
+    (Hot conversations are bounded per partition here: windows sort ~1e5
+    rows, not the extraction-scale data.)
+    """
+    linked = linked.repartition("conv_id")
     resolved = linked.select(
         F.col("entity_id").alias("subj"),
         F.lit("resolved_as").alias("pred"),
@@ -84,17 +93,31 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     min over the struct is lexicographic by field order, i.e. exactly the
     (conv_id, turn_idx, m_idx) first-emission rule.
     """
-    prov = F.min(F.struct("conv_id", "turn_idx", "m_idx", "confidence")).alias("prov")
+    # Provenance is string-encoded so min() runs in HashAggregateExec:
+    # min(struct) falls back to SortAggregate, which sorts the full raw
+    # triple stream per task; min(string) keeps the hash path (no sort).
+    # Lexicographic order == (conv_id, turn_idx, m_idx) order because the
+    # numeric fields are zero-padded and \x01 sorts below any id character;
+    # confidence rides at the tail (never compared — the key prefix is
+    # unique) and round-trips exactly via Spark's double<->string casts.
+    sep = "\x01"
+    prov_str = F.concat_ws(
+        sep,
+        "conv_id",
+        F.lpad(F.col("turn_idx").cast("string"), 10, "0"),
+        F.lpad(F.col("m_idx").cast("string"), 10, "0"),
+        F.col("confidence").cast("string"),
+    )
     return (
         triples.groupBy("subj", "pred", "obj")
-        .agg(prov)
+        .agg(F.min(prov_str).alias("prov"))
         .select(
             "subj",
             "pred",
             "obj",
-            F.col("prov.conv_id").alias("conv_id"),
-            F.col("prov.turn_idx").alias("turn_idx"),
-            F.col("prov.confidence").alias("confidence"),
+            F.split("prov", sep)[0].alias("conv_id"),
+            F.split("prov", sep)[1].cast("int").alias("turn_idx"),
+            F.split("prov", sep)[3].cast("double").alias("confidence"),
         )
     )
 
