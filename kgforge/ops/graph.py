@@ -58,3 +58,51 @@ def graph_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.remap_triples(resolved, cmap).select(
         "subj", "pred", "obj", "conv_id", "turn_idx", "confidence"
     )
+
+
+@register(
+    "graph_nodes",
+    sql=pipeline_ops._PRELUDE
+    + ",\n"
+    + pipeline_ops._MENTIONS_CTE
+    + ",\n"
+    + pipeline_ops._LINKED_CTE
+    + """,
+    resolved AS (
+      SELECT coalesce(c.canonical_id, l.entity_id) AS node_id, l.curie
+      FROM linked l LEFT JOIN canonical c ON l.entity_id = c.entity_id
+    )
+    SELECT node_id,
+           min(curie) AS label,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           list_sort(list(DISTINCT curie)) AS xrefs
+    FROM resolved GROUP BY node_id
+    """,
+    doc=(
+        "Node table with merged identities (SURVEY.md §1.2): canonical id, "
+        "deterministic label, mention count, and the per-component xref SET "
+        "(collect_set + sort_array) — the batch mirror of the bot's item "
+        "(labels + claims + external ids)."
+    ),
+)
+def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    tr = corpus.derive_transcripts(spark, sf_dir)
+    d = corpus.derive_dictionary(spark, sf_dir)
+    edges = corpus.derive_xref_edges(spark, sf_dir)
+    linked = link.link_mentions(extract.extract_mentions(tr, d), d)
+    cmap = canon.canonical_map_auto(d.select("entity_id"), edges)
+    resolved = (
+        linked.join(
+            F.broadcast(cmap), linked.entity_id == cmap.entity_id, "left"
+        )
+        .select(
+            F.coalesce("canonical_id", linked.entity_id).alias("node_id"), "curie"
+        )
+    )
+    return resolved.groupBy("node_id").agg(
+        F.min("curie").alias("label"),
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.sort_array(F.collect_set("curie")).alias("xrefs"),
+    )

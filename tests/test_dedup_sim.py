@@ -122,3 +122,16 @@ def test_sim_ivf_finds_planted_copy(spark, planted):
     rank1 = {r["vec_id"]: r["nn_id"] for r in rows if r["rank"] == 1}
     # the scaled copy points the same direction → same cell → found exactly
     assert rank1.get(0) == 9000
+
+
+def test_agg_approx_within_tolerance(spark):
+    """approx_count_distinct (HLL) must land within 5% of the exact count —
+    the metric-path cardinality estimator (SURVEY §2.B agg pane)."""
+    from pyspark.sql import functions as F
+
+    from kgforge.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id")).first()[0]
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
