@@ -108,3 +108,27 @@ def test_auto_matches_distributed(spark):
     a = {r["entity_id"]: r["canonical_id"] for r in canonical_map(ents, edf).collect()}
     b = {r["entity_id"]: r["canonical_id"] for r in canonical_map_auto(ents, edf).collect()}
     assert a == b
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star CC must equal the pointer-jumping fixpoint on
+    random graphs, chains, and stars."""
+    from kgforge.canon import connected_components_star
+
+    rng = random.Random(33)
+    cases = []
+    nodes = [f"v{i:03d}" for i in range(100)]
+    cases.append([(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)])
+    cases.append([(f"p{i:04d}", f"p{i + 1:04d}") for i in range(150)])  # chain
+    cases.append([("hub", f"l{i:03d}") for i in range(60)])  # star
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(
+            [(a, b, "t") for a, b in edges], "src string, dst string, source string"
+        )
+        want = _spark_cc(spark, edges)
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from kgforge.canon import connected_components  # noqa: E402
+from kgforge.canon import connected_components, connected_components_star  # noqa: E402
 from kgforge.session import get_spark  # noqa: E402
 
 
@@ -30,6 +30,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=1_000_000)
     ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--algo", choices=["jump", "star"], default="jump")
     args = ap.parse_args()
 
     spark = get_spark(master=f"local[{args.cpus}]", app_name="cc-bench",
@@ -52,7 +53,8 @@ def main() -> int:
     edges = e.unionByName(chain).withColumn("source", F.lit("bench"))
 
     t0 = time.time()
-    cc = connected_components(edges)
+    fn = connected_components if args.algo == "jump" else connected_components_star
+    cc = fn(edges)
     n_comp = cc.select("component").distinct().count()
     wall = time.time() - t0
     print(json.dumps({
@@ -61,6 +63,7 @@ def main() -> int:
         "components": n_comp,
         "wall_s": round(wall, 1),
         "cpus": args.cpus,
+        "algo": args.algo,
     }))
     spark.stop()
     return 0
