@@ -822,3 +822,29 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("qty"),
         F.col("o_orderstatus").alias("status"),
     )
+
+
+@register(
+    "agg_quantile",
+    sql="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS qty_p50,
+           quantile_cont(l_quantity, 0.9) AS qty_p90,
+           quantile_cont(l_extendedprice, 0.5) AS price_p50,
+           quantile_cont(l_extendedprice, 0.99) AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact interpolated percentiles per group (Spark `percentile` == "
+        "DuckDB quantile_cont bit-for-bit: sort + linear interpolation over "
+        "identical doubles). The approximate sketch path is agg_approx."
+    ),
+)
+def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("qty_p90"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("price_p50"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("price_p99"),
+    )
