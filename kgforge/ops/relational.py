@@ -848,3 +848,23 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("price_p50"),
         F.expr("percentile(l_extendedprice, 0.99)").alias("price_p99"),
     )
+
+
+@register(
+    "agg_cube",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc=(
+        "CUBE grouping sets (all 4 combinations incl. grand total) — the "
+        "rollup pane's sibling; NULL marks the aggregated-out dimension."
+    ),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
