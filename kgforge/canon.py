@@ -119,10 +119,16 @@ def canonical_map_auto(entities: DataFrame, edges: DataFrame) -> DataFrame:
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
-        p = parent.setdefault(x, x)
-        if p != x:
-            p = parent[x] = find(p)
-        return p
+        # Iterative find + path compression: a recursive version blows
+        # Python's ~1000-frame recursion limit on long parent chains (e.g.
+        # same-as edges arriving in descending order), and a 2M-edge input
+        # can legally produce such chains.
+        root = parent.setdefault(x, x)
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
 
     for row in edges.select("src", "dst").toLocalIterator():
         ra, rb = find(row[0]), find(row[1])

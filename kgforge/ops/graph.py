@@ -75,14 +75,17 @@ def graph_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node_id,
            min(curie) AS label,
            CAST(count(*) AS BIGINT) AS n_mentions,
-           list_sort(list(DISTINCT curie)) AS xrefs
+           array_to_string(list_sort(list(DISTINCT curie)), '|') AS xrefs
     FROM resolved GROUP BY node_id
     """,
     doc=(
         "Node table with merged identities (SURVEY.md §1.2): canonical id, "
         "deterministic label, mention count, and the per-component xref SET "
-        "(collect_set + sort_array) — the batch mirror of the bot's item "
-        "(labels + claims + external ids)."
+        "string-encoded as '|'-joined sorted distinct CURIEs — the batch "
+        "mirror of the bot's item (labels + claims + external ids). The set "
+        "is string-encoded because registered queries must never emit "
+        "array/map-typed columns: the driver harness canonicalizes results "
+        "via pandas sort_values, which cannot hash numpy arrays."
     ),
 )
 def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,5 +107,5 @@ def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.groupBy("node_id").agg(
         F.min("curie").alias("label"),
         F.count(F.lit(1)).alias("n_mentions"),
-        F.sort_array(F.collect_set("curie")).alias("xrefs"),
+        F.concat_ws("|", F.sort_array(F.collect_set("curie"))).alias("xrefs"),
     )

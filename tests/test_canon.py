@@ -132,3 +132,22 @@ def test_star_cc_matches_label_propagation(spark):
             for r in connected_components_star(df).collect()
         }
         assert got == want
+
+
+def test_auto_deep_descending_chain_no_recursion_error(spark):
+    """ADVICE round-1: a 1500-edge same-as chain delivered in DESCENDING
+    order builds a maximal parent chain inside the driver union-find; the
+    old recursive find() hit Python's recursion limit. Must now resolve
+    iteratively and still produce the min-label map."""
+    from kgforge.canon import canonical_map_auto
+
+    n = 1500
+    edges = [(f"c{i + 1:05d}", f"c{i:05d}", "x") for i in range(n - 1, 0, -1)]
+    nodes = [f"c{i:05d}" for i in range(n + 1)]
+    ents = spark.createDataFrame([(x,) for x in nodes], "entity_id string")
+    edf = spark.createDataFrame(edges, "src string, dst string, source string")
+    got = {r["entity_id"]: r["canonical_id"] for r in canonical_map_auto(ents, edf).collect()}
+    # c00001..c01500 form one chain rooted at c00001 (edges cover 1..n);
+    # c00000 is isolated and self-maps.
+    assert got["c00000"] == "c00000"
+    assert {got[f"c{i:05d}"] for i in range(1, n + 1)} == {"c00001"}

@@ -82,6 +82,19 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = spec.fn(spark, args.sf)
+            # Registry lint: the driver harness canonicalizes via pandas
+            # sort_values, which cannot hash numpy arrays — registered
+            # queries must never emit array/map/struct-typed columns
+            # (string-encode sets instead; see graph_nodes round-1 FAIL).
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if bad:
+                print(f"FAIL {key:24s} complex-typed columns {bad} (driver-unhashable)")
+                n_fail += 1
+                continue
             spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {key:24s} spark error: {e}")
