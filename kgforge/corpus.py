@@ -35,15 +35,42 @@ from kgforge.tables import load
 MIN_TOKEN_LEN = 4
 PREFIX_LEN = 4
 
+# Memoization: every registered pipeline op re-derives the same corpus cuts,
+# and each derive_transcripts used to run a docs.count() Spark job — one
+# extra job per op per invocation (round-1 VERDICT #7). The sf dirs are
+# immutable inputs, so n_docs memoizes per sf_dir for the process lifetime;
+# derived DataFrames memoize per (Spark application, sf_dir) and are
+# persist()ed so a 19-query bench builds transcripts/dictionary once.
+_N_DOCS: dict[str, int] = {}
+_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    df = _MEMO.get(key)
+    if df is None:
+        df = build().persist()
+        _MEMO[key] = df
+    return df
+
+
+def n_docs(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _N_DOCS:
+        _N_DOCS[sf_dir] = load(spark, sf_dir, "documents").count()
+    return _N_DOCS[sf_dir]
+
 
 def n_convs_expr(n_docs_col: str = "n_docs") -> str:
     return f"greatest(20, {n_docs_col} // 8)"
 
 
 def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memo(spark, sf_dir, "transcripts", lambda: _derive_transcripts(spark, sf_dir))
+
+
+def _derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = docs.count()
-    n_convs = max(20, n_docs // 8)
+    n_convs = max(20, n_docs(spark, sf_dir) // 8)
     return docs.select(
         F.concat(F.lit("c"), F.lpad((F.col("doc_id") % n_convs).cast("string"), 6, "0")).alias(
             "conv_id"
@@ -90,6 +117,10 @@ TRANSCRIPTS_SQL = f"""
 
 def derive_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct corpus tokens (len ≥ MIN_TOKEN_LEN) as a 1:1 entity lexicon."""
+    return _memo(spark, sf_dir, "dictionary", lambda: _derive_dictionary(spark, sf_dir))
+
+
+def _derive_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("text")
     toks = (
         docs.select(F.explode(F.split("text", " ")).alias("surface"))
@@ -118,6 +149,10 @@ DICTIONARY_SQL = f"""
 
 def derive_xref_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star same-as edges: each entity ↔ min entity of its 4-char-prefix group."""
+    return _memo(spark, sf_dir, "xref_edges", lambda: _derive_xref_edges(spark, sf_dir))
+
+
+def _derive_xref_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = derive_dictionary(spark, sf_dir).select(
         "entity_id", F.substring("surface", 1, PREFIX_LEN).alias("pfx")
     )

@@ -45,11 +45,26 @@ MENTIONS_SCHEMA = StructType(
 )
 
 
+_LEXICON_CACHE: dict = {}  # id(dictionary DataFrame) -> (df ref, broadcast)
+
+
 def extract_mentions(transcripts: DataFrame, dictionary: DataFrame) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, …) × dictionary(surface) → mentions."""
     spark = transcripts.sparkSession
-    surfaces = [r[0] for r in dictionary.select("surface").distinct().collect()]
-    bc = spark.sparkContext.broadcast(surfaces)
+    # The surface list is collect()ed to the driver before broadcast. That
+    # is safe because lexicons are ENTITY-bounded (~1e7–1e8 surfaces even
+    # for a 10^12-turn corpus — a few GB at worst), not corpus-bounded;
+    # if a caller ever passes a corpus-scale dictionary this is the line
+    # that becomes the driver-RAM ceiling. Cached per dictionary DataFrame
+    # (corpus.derive_dictionary memoizes, so repeated ops reuse one
+    # collect + one broadcast per session; the df ref in the value keeps
+    # id() stable against GC reuse).
+    entry = _LEXICON_CACHE.get(id(dictionary))
+    if entry is None or entry[0] is not dictionary:
+        surfaces = [r[0] for r in dictionary.select("surface").distinct().collect()]
+        entry = (dictionary, spark.sparkContext.broadcast(surfaces))
+        _LEXICON_CACHE[id(dictionary)] = entry
+    bc = entry[1]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = LexiconMatcher(bc.value)  # built once per task

@@ -24,12 +24,15 @@ HEAD_BUCKETS = 10  # surfaces hashing to bucket < HEAD_SPLIT go to the broadcast
 HEAD_SPLIT = 9
 
 
+FREQ_HEAD_TOP_K = 100_000  # top-frequency surfaces broadcast in "freq" mode
+
+
 def split_dictionary(dictionary: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Disjoint head/tail partition of the dictionary on the surface key.
 
-    Hash-based here (deterministic, cheap); at production scale the head
-    would be the top-frequency surfaces from a one-pass mention count so the
-    broadcast side covers ~99% of mention mass.
+    Hash-based (deterministic, cheap, no extra pass). See
+    ``split_dictionary_freq`` for the production split that targets the
+    skewed-surface case.
     """
     bucket = F.pmod(F.xxhash64("surface"), F.lit(HEAD_BUCKETS))
     head = dictionary.where(bucket < HEAD_SPLIT)
@@ -37,16 +40,57 @@ def split_dictionary(dictionary: DataFrame) -> tuple[DataFrame, DataFrame]:
     return head, tail
 
 
-def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
-    """mentions(conv_id, turn_idx, m_idx, surface) → +(entity_id, curie, prior)."""
-    head, tail = split_dictionary(dictionary)
+def split_dictionary_freq(
+    mentions: DataFrame, dictionary: DataFrame, top_k: int = FREQ_HEAD_TOP_K
+) -> tuple[DataFrame, DataFrame]:
+    """Frequency-based head/tail split: head = the ``top_k`` surfaces by a
+    one-pass mention count (map-side-combinable groupBy + global top-k, a
+    TakeOrdered — no full sort). On a skewed corpus this puts the hot
+    surfaces on the zero-shuffle broadcast path, so the sort-merge tail
+    carries only the long tail of rare surfaces instead of whichever hot
+    surfaces the hash split happened to leave there. ``top_k`` bounds the
+    broadcast (and driver) footprint regardless of corpus size.
+
+    The split is still a disjoint ∪ exhaustive partition of the dictionary
+    on the join key, so link results are identical to the hash split
+    (equality-tested in tests/test_skew.py).
+    """
+    topk = (
+        mentions.groupBy("surface")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "surface")
+        .limit(top_k)
+        .select("surface")
+    )
+    head = dictionary.join(F.broadcast(topk), "surface", "semi")
+    tail = dictionary.join(F.broadcast(topk), "surface", "anti")
+    return head, tail
+
+
+def link_mentions(
+    mentions: DataFrame, dictionary: DataFrame, split: str = "hash"
+) -> DataFrame:
+    """mentions(conv_id, turn_idx, m_idx, surface) → +(entity_id, curie, prior).
+
+    ``split="hash"`` (default): cheap deterministic head/tail split.
+    ``split="freq"``: one-pass top-frequency head (see split_dictionary_freq).
+    """
+    if split == "freq":
+        head, tail = split_dictionary_freq(mentions, dictionary)
+    else:
+        head, tail = split_dictionary(dictionary)
     head_hit = mentions.join(F.broadcast(head), "surface", "inner")
     tail_hit = mentions.hint("merge").join(tail, "surface", "inner")
     cands = head_hit.unionByName(tail_hit)
     # rank-1 as a min(struct) aggregate, not a row_number window: the window
-    # forces a full sort shuffle of every candidate row; the aggregate is a
-    # hash agg with map-side partial combine. Negated prior inside the struct
-    # encodes (prior DESC, entity_id ASC) in one lexicographic min.
+    # forces a full sort shuffle of every candidate row, while the aggregate
+    # gets map-side partial combine (duplicates collapse before the
+    # shuffle). Note: a struct-typed min buffer runs as SortAggregate, not
+    # HashAggregate (same Spark limitation dedup_triples works around) —
+    # the win here is the partial combine, not the agg kind; if plans ever
+    # show the per-task sort hurting, apply the zero-padded string-encoding
+    # trick from dedup_triples. Negated prior inside the struct encodes
+    # (prior DESC, entity_id ASC) in one lexicographic min.
     best = F.min(
         F.struct(
             (-F.col("prior")).alias("np"),

