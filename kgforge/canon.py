@@ -112,8 +112,12 @@ DRIVER_CC_MAX_EDGES = 2_000_000
 
 def canonical_map_auto(entities: DataFrame, edges: DataFrame) -> DataFrame:
     """canonical_map with a size-adaptive strategy (see DRIVER_CC_MAX_EDGES)."""
-    n_edges = edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
-    if n_edges > DRIVER_CC_MAX_EDGES:
+    # ONE job decides strategy AND fetches the edges: pull at most MAX+1
+    # rows via Arrow. If the limit is hit, the pull is discarded and the
+    # distributed path runs (a separate count-then-fetch costs two jobs on
+    # the common small-graph path, and job overhead dominates at this size).
+    epdf = edges.select("src", "dst").limit(DRIVER_CC_MAX_EDGES + 1).toPandas()
+    if len(epdf) > DRIVER_CC_MAX_EDGES:
         return canonical_map(entities, edges)
 
     parent: dict[str, str] = {}
@@ -130,8 +134,8 @@ def canonical_map_auto(entities: DataFrame, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.select("src", "dst").toLocalIterator():
-        ra, rb = find(row[0]), find(row[1])
+    for a, b in zip(epdf["src"].to_numpy(), epdf["dst"].to_numpy()):
+        ra, rb = find(a), find(b)
         if ra != rb:
             parent[rb] = ra
     comp_min: dict[str, str] = {}

@@ -56,8 +56,28 @@ def _memo(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
 
 def n_docs(spark: SparkSession, sf_dir: str) -> int:
     if sf_dir not in _N_DOCS:
-        _N_DOCS[sf_dir] = load(spark, sf_dir, "documents").count()
+        _N_DOCS[sf_dir] = _count_parquet_rows(sf_dir) or load(
+            spark, sf_dir, "documents"
+        ).count()
     return _N_DOCS[sf_dir]
+
+
+def _count_parquet_rows(sf_dir: str) -> int:
+    """Row count from parquet footers — metadata-only, no Spark job (the
+    count() alternative costs a full scheduling round trip per cold call)."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "documents.parquet")
+        files = [path] if os.path.isfile(path) else glob.glob(
+            os.path.join(path, "*.parquet")
+        )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:  # noqa: BLE001 — fall back to a Spark count
+        return 0
 
 
 def n_convs_expr(n_docs_col: str = "n_docs") -> str:
@@ -172,3 +192,21 @@ CANONICAL_SQL = f"""
       FROM dictionary
     )
 """
+
+
+def derive_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (entity_id → canonical_id) over the derived corpus: every
+    graph/pipeline op needs this same map, and canonical_map_auto costs a
+    driver union-find pass per call — once per (application, sf_dir) is
+    enough."""
+    from kgforge import canon
+
+    return _memo(
+        spark,
+        sf_dir,
+        "canonical_map",
+        lambda: canon.canonical_map_auto(
+            derive_dictionary(spark, sf_dir).select("entity_id"),
+            derive_xref_edges(spark, sf_dir),
+        ),
+    )

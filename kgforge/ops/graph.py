@@ -42,7 +42,6 @@ from kgforge.registry import register
 def graph_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = corpus.derive_transcripts(spark, sf_dir)
     d = corpus.derive_dictionary(spark, sf_dir)
-    edges = corpus.derive_xref_edges(spark, sf_dir)
     m = extract.extract_mentions(tr, d)
     linked = link.link_mentions(m, d)
     resolved = linked.selectExpr(
@@ -54,7 +53,7 @@ def graph_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_idx",
         "prior AS confidence",
     )
-    cmap = canon.canonical_map_auto(d.select("entity_id"), edges)
+    cmap = corpus.derive_canonical_map(spark, sf_dir)
     return canon.remap_triples(resolved, cmap).select(
         "subj", "pred", "obj", "conv_id", "turn_idx", "confidence"
     )
@@ -93,9 +92,8 @@ def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr = corpus.derive_transcripts(spark, sf_dir)
     d = corpus.derive_dictionary(spark, sf_dir)
-    edges = corpus.derive_xref_edges(spark, sf_dir)
     linked = link.link_mentions(extract.extract_mentions(tr, d), d)
-    cmap = canon.canonical_map_auto(d.select("entity_id"), edges)
+    cmap = corpus.derive_canonical_map(spark, sf_dir)
     resolved = (
         linked.join(
             F.broadcast(cmap), linked.entity_id == cmap.entity_id, "left"

@@ -187,7 +187,7 @@ def pipe_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes to the warehouse for resumability.
     linked = link.link_mentions(m, d).persist()
     raw = triples.build_raw_triples(linked)
-    cmap = canon.canonical_map_auto(d.select("entity_id"), edges).persist()
+    cmap = corpus.derive_canonical_map(spark, sf_dir)
     remapped = canon.remap_triples(raw, cmap)
     return triples.dedup_triples(remapped)
 
