@@ -95,6 +95,7 @@ def main() -> int:
         "wall_s": round(wall, 2),
         "turns_per_sec": round(n_turns / wall, 1),
         "triples_per_sec": round((cfg.observed.get("triples_rows") or 0) / wall, 1),
+        "stages": {k: v for k, v in cfg.observed.items() if k.startswith("t_")},
     }
     print(json.dumps(out))
     shutil.rmtree(wh, ignore_errors=True)

@@ -70,7 +70,10 @@ def extract_mentions(transcripts: DataFrame, dictionary: DataFrame) -> DataFrame
         matcher = LexiconMatcher(bc.value)  # built once per task
         for pdf in batches:
             # columnar accumulation: pd.DataFrame from per-column lists is
-            # several times cheaper than from a list of row tuples
+            # several times cheaper than from a list of row tuples; .tolist()
+            # up front converts int64/str cells ONCE (iterating a pandas
+            # Series yields numpy scalars — measured several times slower
+            # and forcing a per-row int() cast).
             c_conv: list = []
             c_turn: list = []
             c_midx: list = []
@@ -79,9 +82,8 @@ def extract_mentions(transcripts: DataFrame, dictionary: DataFrame) -> DataFrame
             c_end: list = []
             find = matcher.find
             for conv_id, turn_idx, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+                pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(), pdf["text"].tolist()
             ):
-                turn_idx = int(turn_idx)
                 for m_idx, (surface, begin, end) in enumerate(
                     find(text if isinstance(text, str) else "")
                 ):

@@ -21,34 +21,57 @@ _TOKEN_RE = re.compile(r"\w+")
 
 
 class LexiconMatcher:
-    """Word-level leftmost-longest matcher over a closed surface lexicon."""
+    """Word-level leftmost-longest matcher over a closed surface lexicon.
 
-    __slots__ = ("by_first",)
+    Two-tier layout: single-word surfaces live in a plain set (one hash
+    lookup per token — the hot path: corpus-derived dictionaries are 100%
+    single-token), multi-word surfaces in a first-token index probed only
+    when a token can start one. Semantics are identical to the flat
+    longest-first scan (equality-tested against tests/oracle_ref.py, which
+    keeps the naive implementation).
+    """
+
+    __slots__ = ("single", "multi_first")
 
     def __init__(self, surfaces: Iterable[str]):
-        by_first: dict[str, list[tuple[str, ...]]] = {}
+        single: set[str] = set()
+        multi_first: dict[str, list[tuple[str, ...]]] = {}
         for s in surfaces:
             words = tuple(w.lower() for w in _TOKEN_RE.findall(s))
             if not words:
                 continue
-            by_first.setdefault(words[0], []).append(words)
+            if len(words) == 1:
+                single.add(words[0])
+            else:
+                multi_first.setdefault(words[0], []).append(words)
         # longest candidate first => leftmost-LONGEST on first-match-wins scan
-        for cands in by_first.values():
+        for cands in multi_first.values():
             cands.sort(key=lambda w: (-len(w), w))
-        self.by_first = by_first
+        self.single = single
+        self.multi_first = multi_first
 
     def find(self, text: str) -> list[tuple[str, int, int]]:
         """Return [(surface, begin_char, end_char)] non-overlapping matches."""
         if not text:
             return []
+        single = self.single
+        if not self.multi_first:
+            # Pure single-token lexicon: one finditer pass + set membership,
+            # no token-tuple list, no candidate loop (~2x the general path).
+            return [
+                (tok, m.start(), m.end())
+                for m in _TOKEN_RE.finditer(text)
+                if (tok := m.group(0).lower()) in single
+            ]
         tokens = [
             (m.group(0).lower(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)
         ]
         out: list[tuple[str, int, int]] = []
         i, n = 0, len(tokens)
-        by_first = self.by_first
+        multi_first = self.multi_first
         while i < n:
-            cands = by_first.get(tokens[i][0])
+            tok = tokens[i][0]
+            cands = multi_first.get(tok)
             if cands:
                 matched = False
                 for cand in cands:
@@ -62,5 +85,7 @@ class LexiconMatcher:
                         break
                 if matched:
                     continue
+            if tok in single:
+                out.append((tok, tokens[i][1], tokens[i][2]))
             i += 1
         return out

@@ -428,7 +428,6 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = q.alias("a"), q.alias("b")
     cos = _cos(F.col("a.qv"), F.col("b.qv"))
-    w = Window.partitionBy("a.vec_id").orderBy(F.desc("cos"), F.col("nn_id"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.vec_id") != F.col("b.vec_id")))
@@ -512,18 +511,6 @@ def _plane_weight_sql(p: int) -> str:
     return (
         f"({_nibble_val_sql(h, 1)} * 4096 + {_nibble_val_sql(h, 2)} * 256 "
         f"+ {_nibble_val_sql(h, 3)} * 16 + {_nibble_val_sql(h, 4)} - 32768)"
-    )
-
-
-def _plane_weights_spark(p: int, dims: int) -> Column:
-    # same construction as the SQL mirror, precomputed driver-side (tiny)
-    import hashlib
-
-    return F.array(
-        *[
-            F.lit(int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:4], 16) - 32768)
-            for d in range(dims)
-        ]
     )
 
 
