@@ -44,3 +44,37 @@ def test_offsets_are_char_offsets():
     text = "  beta  "
     [(s, b, e)] = m.find(text)
     assert text[b:e] == "beta"
+
+
+# --- two-tier layout equivalence vs the naive oracle (tests/oracle_ref.py) ---
+# The matcher splits single-word surfaces into a set and probes the
+# multi-word index only on first-token hits; these properties pin that
+# refactor to the flat longest-first scan the oracle keeps.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.oracle_ref import find_mentions, index_surfaces
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=3)
+_surface = st.lists(_word, min_size=1, max_size=3).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    surfaces=st.lists(_surface, min_size=0, max_size=12),
+    text_words=st.lists(_word, min_size=0, max_size=20),
+)
+def test_matcher_matches_naive_oracle(surfaces, text_words):
+    text = " ".join(text_words)
+    got = LexiconMatcher(surfaces).find(text)
+    want = find_mentions(text, index_surfaces(surfaces))
+    assert got == want
+
+
+def test_pure_single_token_fast_path_equivalence():
+    surfaces = ["aspirin", "ibuprofen", "statin"]
+    m = LexiconMatcher(surfaces)
+    assert not m.multi_first  # exercises the finditer fast path
+    text = "Aspirin then ibuprofen; no statin today, aspirin again."
+    assert m.find(text) == find_mentions(text, index_surfaces(surfaces))
