@@ -308,7 +308,12 @@ def udf_score_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------- sink pane
 @register(
     "scan_snapshot",
-    sql=None,  # weak: snapshot identity isn't SQL-expressible over the raw files
+    # Full oracle: snapshot 1 holds the deterministic transcript derivation;
+    # snapshot 2 then OVERWRITES the table with 10 rows. Reading snapshot 1
+    # back must still equal the full derivation — value-hash equality vs the
+    # DuckDB transcript mirror IS the time-travel/isolation proof (a reader
+    # pinned to a snapshot is immune to later writes).
+    sql=_PRELUDE + "\nSELECT conv_id, turn_idx, role, tool, text, ts FROM transcripts",
     doc=(
         "Snapshot-isolated scan with time travel: write two snapshots to a "
         "scratch warehouse, read back the FIRST via its snapshot id "
@@ -321,7 +326,9 @@ def scan_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.io.tableio import Warehouse
 
     wh = Warehouse(tempfile.mkdtemp(prefix="kgforge_snap_"))
-    tr = corpus.derive_transcripts(spark, sf_dir)
+    tr = corpus.derive_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool", "text", "ts"
+    )
     first = wh.write_snapshot("transcripts", tr)
     wh.write_snapshot("transcripts", tr.limit(10))
     return wh.read(spark, "transcripts", snapshot=first)
@@ -329,7 +336,13 @@ def scan_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_merge",
-    sql=None,  # weak: idempotence is asserted in pytest (tests/test_tableio.py)
+    # Full oracle: pipe_triples is deterministic and already unique on
+    # (subj, pred, obj), so merging it TWICE must leave the table equal to
+    # one merge — i.e. exactly the triple derivation. Value-hash equality vs
+    # the DuckDB triple mirror proves MERGE idempotence end-to-end (the
+    # second merge matching 100% of keys and inserting nothing).
+    sql=_PRELUDE + ",\n" + _MENTIONS_CTE + ",\n" + _LINKED_CTE + ",\n" + _TRIPLES_CTE
+    + "\nSELECT subj, pred, obj, conv_id, turn_idx, confidence FROM final_triples",
     doc=(
         "Idempotent MERGE INTO sink: merge the same triple set twice into a "
         "scratch warehouse; the returned table must equal a single merge "
@@ -345,4 +358,6 @@ def sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = pipe_triples(spark, sf_dir)
     wh.merge(spark, "triples", tri, keys=["subj", "pred", "obj"])
     wh.merge(spark, "triples", tri, keys=["subj", "pred", "obj"])
-    return wh.read(spark, "triples")
+    return wh.read(spark, "triples").select(
+        "subj", "pred", "obj", "conv_id", "turn_idx", "confidence"
+    )

@@ -391,13 +391,30 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx",
-    sql=None,  # approximate — rows-only check; exactness asserted ±2% in pytest
+    # The sketch value itself is engine-specific, but its ACCURACY CONTRACT
+    # is not: emit the exact cardinality plus a boolean "HLL within 5% of
+    # exact" (Spark's approx_count_distinct default rsd is 5%). The oracle
+    # asserts the contract (TRUE) and the exact value — a full value-hash
+    # check of what the operator promises, not of sketch internals.
+    sql="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
     doc="HLL approximate distinct count (cheap cardinality metrics, SURVEY A9).",
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs")
+        F.count_distinct("o_custkey").alias("exact_custs"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey")
+                - F.count_distinct("o_custkey")
+            )
+            <= 0.05 * F.count_distinct("o_custkey")
+        ).alias("approx_ok"),
     )
 
 
