@@ -57,3 +57,37 @@ def test_report_only_reads_scaling_json(tmp_path, monkeypatch):
     monkeypatch.setattr("sys.argv", ["run_scaling.py", "--report-only"])
     assert rs.main() == 0
     assert "MEDIAN of 2 run(s)" in (tmp_path / "BENCH" / "BASELINE.md").read_text()
+
+
+def test_merge_scaling_recomputes_pairs(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "merge_scaling", os.path.join(ROOT, "tools", "merge_scaling.py")
+    )
+    ms = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ms)
+    monkeypatch.setattr(ms, "ROOT", str(tmp_path))
+    os.makedirs(tmp_path / "BENCH")
+
+    def lvl(w):
+        return {"wall_s": w, "turns_per_sec": round(700 / w, 1),
+                "triples_per_sec": 1.0, "wall_all": [w]}
+
+    base = {"convs": 10, "turns": 700, "runs": 3,
+            "levels": {"2": lvl(400.0), "8": lvl(160.0), "32": lvl(120.0)},
+            "pairs": []}
+    extra = {"convs": 10, "turns": 700,
+             "levels": {"1": lvl(800.0), "4": lvl(240.0)}, "pairs": []}
+    (tmp_path / "base.json").write_text(json.dumps(base))
+    (tmp_path / "extra.json").write_text(json.dumps(extra))
+    monkeypatch.setattr(
+        "sys.argv",
+        ["merge_scaling.py", str(tmp_path / "base.json"),
+         str(tmp_path / "extra.json"), "--runs-note", "3"],
+    )
+    assert ms.main() == 0
+    merged = json.loads((tmp_path / "BENCH" / "scaling.json").read_text())
+    by = {(p["low"], p["high"]): p for p in merged["pairs"]}
+    assert by[(1, 4)]["efficiency"] == 0.833 and by[(1, 4)]["gate"]
+    assert by[(2, 8)]["efficiency"] == 0.625 and not by[(2, 8)]["gate"]
+    assert (2, 8) in by and (8, 32) in by and len(by) == 3
+    assert "| 1 → 4 |" in (tmp_path / "BENCH" / "BASELINE.md").read_text()

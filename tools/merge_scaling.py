@@ -58,10 +58,12 @@ def main() -> int:
         json.dump(report, f, indent=2)
 
     spec = importlib.util.spec_from_file_location(
-        "run_scaling", os.path.join(ROOT, "tools", "run_scaling.py")
+        "run_scaling",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "run_scaling.py"),
     )
     rs = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rs)
+    rs.ROOT = ROOT  # honor a monkeypatched output root (tests)
     rs.write_report(report, report["runs"])
     print(json.dumps(pairs))
     return 0
