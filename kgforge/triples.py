@@ -120,9 +120,23 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
         F.coalesce(F.lpad(F.col("m_idx").cast("string"), 10, "0"), F.lit("9999999999")),
         F.coalesce(F.col("confidence").cast("string"), F.lit("")),
     )
+    # TWO-LEVEL aggregation: per-conversation min first, then global min.
+    # Why: raw triples are conv_id-clustered (build_raw_triples repartitions
+    # by conv_id), so a popular (subj, pred, obj) appears in MANY partitions
+    # — the single-level aggregate's map-side combine then emits one partial
+    # row per (key × map-partition), i.e. shuffled volume GROWS with
+    # parallelism (measured: triples-stage scaling degraded as cores rose).
+    # Grouping by (key, conv_id) first makes the combine output equal the
+    # global distinct (key, conv_id) count — a data property, independent of
+    # partition count — and the second aggregate then shuffles only that
+    # bounded set. min is associative, and conv_id prefixes the encoded
+    # provenance, so min-per-conv → global min == global first emission.
+    per_conv = triples.groupBy("subj", "pred", "obj", "conv_id").agg(
+        F.min(prov_str).alias("prov")
+    )
     return (
-        triples.groupBy("subj", "pred", "obj")
-        .agg(F.min(prov_str).alias("prov"))
+        per_conv.groupBy("subj", "pred", "obj")
+        .agg(F.min("prov").alias("prov"))
         .select(
             "subj",
             "pred",
