@@ -392,10 +392,15 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx",
     # The sketch value itself is engine-specific, but its ACCURACY CONTRACT
-    # is not: emit the exact cardinality plus a boolean "HLL within 5% of
-    # exact" (Spark's approx_count_distinct default rsd is 5%). The oracle
-    # asserts the contract (TRUE) and the exact value — a full value-hash
-    # check of what the operator promises, not of sketch internals.
+    # is not: emit the exact cardinality plus a boolean "HLL within 3% of
+    # exact" at rsd=0.01. The bound is 3 relative standard deviations —
+    # and since HLL++ is hash-based (deterministic per dataset), the
+    # boolean is a fixed fact of each SF's data, measured ≤1.02% error at
+    # sf0.001/0.01/0.1. The oracle asserts the contract (TRUE) plus the
+    # exact value — a full value-hash check of what the operator promises,
+    # not of sketch internals. (The default rsd=0.05 sketch strays past
+    # ONE-sigma routinely — 5.65% on sf0.01 — which is exactly why the
+    # contract needs the tighter sketch, not a looser assertion.)
     sql="""
     SELECT o_orderstatus,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
@@ -410,10 +415,10 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").alias("exact_custs"),
         (
             F.abs(
-                F.approx_count_distinct("o_custkey")
+                F.approx_count_distinct("o_custkey", 0.01)
                 - F.count_distinct("o_custkey")
             )
-            <= 0.05 * F.count_distinct("o_custkey")
+            <= 0.03 * F.count_distinct("o_custkey")
         ).alias("approx_ok"),
     )
 
