@@ -195,6 +195,7 @@ class Warehouse:
         new_df: DataFrame,
         keys: list[str],
         partition_by: list[str] | None = None,
+        source_unique: bool = False,
     ) -> str:
         """MERGE INTO (insert-if-absent on keys). Idempotent by construction.
 
@@ -204,22 +205,31 @@ class Warehouse:
         partition directories are hard-linked into the new snapshot without
         reading or rewriting a byte. A full-table copy-on-write (round-1
         behavior) would rewrite 100 TB per incremental batch at scale.
+
+        ``source_unique=True`` declares new_df already unique on ``keys``
+        (e.g. the output of an aggregation grouped by them) and skips the
+        defensive dropDuplicates — at scale that is one full shuffle of the
+        entire source avoided in the sink.
         """
         if self.fmt == "iceberg":
             return self._iceberg_merge(spark, table, new_df, keys, partition_by)
+        dedup = (lambda df: df) if source_unique else (
+            lambda df: df.dropDuplicates(keys)
+        )
         if not self.exists(table):
-            return self.write_snapshot(table, new_df.dropDuplicates(keys), partition_by)
+            return self.write_snapshot(table, dedup(new_df), partition_by)
         if partition_by and len(partition_by) == 1:
             prev = [m for m in self.snapshots(table)
                     if m["snapshot_id"] == self.latest_snapshot(table)]
             if prev and prev[0].get("partition_by") == partition_by:
                 scoped = self._merge_partition_scoped(
-                    spark, table, new_df, keys, partition_by[0]
+                    spark, table, new_df, keys, partition_by[0],
+                    source_unique=source_unique,
                 )
                 if scoped is not None:
                     return scoped
         existing = self.read(spark, table)
-        inserts = new_df.dropDuplicates(keys).join(
+        inserts = dedup(new_df).join(
             existing.select(*keys), keys, "left_anti"
         )
         merged = existing.unionByName(inserts)
@@ -232,6 +242,7 @@ class Warehouse:
         new_df: DataFrame,
         keys: list[str],
         part_col: str,
+        source_unique: bool = False,
     ) -> str | None:
         """Rewrite only the partitions present in new_df; hard-link the rest.
 
@@ -259,7 +270,8 @@ class Warehouse:
         existing_aff = self.read(spark, table).where(
             F.col(part_col).isin(affected)
         )  # partition-pruned scan: only affected directories are read
-        inserts = new_df.dropDuplicates(keys).join(
+        src = new_df if source_unique else new_df.dropDuplicates(keys)
+        inserts = src.join(
             existing_aff.select(*keys), keys, "left_anti"
         )
         merged_aff = existing_aff.unionByName(inserts).repartition(F.col(part_col))

@@ -100,14 +100,16 @@ def run_pipeline(
     final = triples.dedup_triples(remapped)
     final = metrics.with_lineage_part(final)
     wh.merge(spark, "triples", final, keys=["subj", "pred", "obj"],
-             partition_by=["lineage_part"])
+             partition_by=["lineage_part"], source_unique=True)
+    # source_unique: dedup_triples output is grouped by exactly these keys —
+    # the sink's defensive dropDuplicates would re-shuffle the whole table
     metrics.record_stage_from_files(wh, "triples", "triples", cfg.run_id)
     mark("triples_merge")
 
     # ---- stage 4: nodes ---------------------------------------------------
     tri = wh.read(spark, "triples")
     nodes = triples.build_nodes(tri)
-    wh.merge(spark, "nodes", nodes, keys=["node_id"])
+    wh.merge(spark, "nodes", nodes, keys=["node_id"], source_unique=True)
     mark("nodes")
 
     cfg.observed["triples_rows"] = wh.rows("triples")

@@ -146,3 +146,25 @@ def test_iceberg_statement_rendering():
         "CREATE TABLE IF NOT EXISTS lake.triples (subj string, pred string) "
         "USING iceberg PARTITIONED BY (lineage_part)"
     )
+
+
+def test_merge_source_unique_skips_nothing_semantically(spark, tmp_path):
+    """source_unique=True must produce the same table as the defensive path
+    when the source IS unique — on both the create and incremental paths."""
+    from pyspark.sql import functions as F
+
+    from kgforge.io.tableio import Warehouse
+
+    df1 = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df2 = spark.range(5, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    wa, wb = Warehouse(str(tmp_path / "a")), Warehouse(str(tmp_path / "b"))
+    for wh, unique in ((wa, False), (wb, True)):
+        wh.merge(spark, "t", df1, keys=["k"], source_unique=unique)
+        wh.merge(spark, "t", df2, keys=["k"], source_unique=unique)
+    a = sorted(map(tuple, wa.read(spark, "t").collect()))
+    b = sorted(map(tuple, wb.read(spark, "t").collect()))
+    assert a == b and len(a) == 15
