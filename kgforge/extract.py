@@ -45,26 +45,44 @@ MENTIONS_SCHEMA = StructType(
 )
 
 
-_LEXICON_CACHE: dict = {}  # id(dictionary DataFrame) -> (df ref, broadcast)
+_LEXICON_CACHE: list = []  # size-1 LRU: [(dictionary DataFrame ref, broadcast)]
+
+
+def _lexicon_broadcast(dictionary: DataFrame):
+    """Collect+broadcast the surface list, cached with a SIZE-1 LRU.
+
+    Size 1 is enough: corpus.derive_dictionary memoizes per (app, sf_dir),
+    so hits are consecutive — and an unbounded id()-keyed dict (round 2)
+    held strong refs to every dictionary DataFrame and its broadcast
+    forever, leaking driver memory across multi-session pytest/ladder runs.
+    The displaced broadcast is unpersist()ed on replacement — executor-side
+    blocks are freed immediately, while a not-yet-executed plan that still
+    references it stays valid (tasks re-fetch from the driver; destroy()
+    would make such a plan fail). Dropping the strong reference lets GC
+    reclaim the driver-side copy once no plan holds it.
+    """
+    if _LEXICON_CACHE and _LEXICON_CACHE[0][0] is dictionary:
+        return _LEXICON_CACHE[0][1]
+    surfaces = [r[0] for r in dictionary.select("surface").distinct().collect()]
+    bc = dictionary.sparkSession.sparkContext.broadcast(surfaces)
+    if _LEXICON_CACHE:
+        old = _LEXICON_CACHE.pop()
+        try:
+            old[1].unpersist()
+        except Exception:
+            pass  # already-stopped SparkContext: nothing to free
+    _LEXICON_CACHE.append((dictionary, bc))
+    return bc
 
 
 def extract_mentions(transcripts: DataFrame, dictionary: DataFrame) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, …) × dictionary(surface) → mentions."""
-    spark = transcripts.sparkSession
     # The surface list is collect()ed to the driver before broadcast. That
     # is safe because lexicons are ENTITY-bounded (~1e7–1e8 surfaces even
     # for a 10^12-turn corpus — a few GB at worst), not corpus-bounded;
     # if a caller ever passes a corpus-scale dictionary this is the line
-    # that becomes the driver-RAM ceiling. Cached per dictionary DataFrame
-    # (corpus.derive_dictionary memoizes, so repeated ops reuse one
-    # collect + one broadcast per session; the df ref in the value keeps
-    # id() stable against GC reuse).
-    entry = _LEXICON_CACHE.get(id(dictionary))
-    if entry is None or entry[0] is not dictionary:
-        surfaces = [r[0] for r in dictionary.select("surface").distinct().collect()]
-        entry = (dictionary, spark.sparkContext.broadcast(surfaces))
-        _LEXICON_CACHE[id(dictionary)] = entry
-    bc = entry[1]
+    # that becomes the driver-RAM ceiling.
+    bc = _lexicon_broadcast(dictionary)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = LexiconMatcher(bc.value)  # built once per task

@@ -196,6 +196,7 @@ class Warehouse:
         keys: list[str],
         partition_by: list[str] | None = None,
         source_unique: bool = False,
+        part_determined_by_keys: bool = False,
     ) -> str:
         """MERGE INTO (insert-if-absent on keys). Idempotent by construction.
 
@@ -205,6 +206,19 @@ class Warehouse:
         partition directories are hard-linked into the new snapshot without
         reading or rewriting a byte. A full-table copy-on-write (round-1
         behavior) would rewrite 100 TB per incremental batch at scale.
+
+        SOUNDNESS of the scoped path: the merge contract is insert-if-absent
+        on ``keys`` over the WHOLE table, but the scoped anti-join only sees
+        the affected partitions — that is equivalent iff the partition column
+        is a FUNCTION of the merge keys (then a row with the same keys can
+        only ever live in the one partition its keys map to). The scoped path
+        therefore engages only when ``partition_by[0] in keys``, or when the
+        caller declares the functional dependency with
+        ``part_determined_by_keys=True`` (e.g. ``lineage_part =
+        pmod(xxhash64(*keys), n)``). Any other layout falls back to the
+        full-table anti-join — otherwise an incremental batch re-emitting an
+        existing key with a different partition value would silently insert a
+        duplicate (regression-tested in tests/test_tableio.py).
 
         ``source_unique=True`` declares new_df already unique on ``keys``
         (e.g. the output of an aggregation grouped by them) and skips the
@@ -218,14 +232,31 @@ class Warehouse:
         )
         if not self.exists(table):
             return self.write_snapshot(table, dedup(new_df), partition_by)
-        if partition_by and len(partition_by) == 1:
+        scoped_sound = partition_by is not None and len(partition_by) == 1 and (
+            partition_by[0] in keys or part_determined_by_keys
+        )
+        if scoped_sound:
             prev = [m for m in self.snapshots(table)
                     if m["snapshot_id"] == self.latest_snapshot(table)]
             if prev and prev[0].get("partition_by") == partition_by:
-                scoped = self._merge_partition_scoped(
-                    spark, table, new_df, keys, partition_by[0],
-                    source_unique=source_unique,
+                # The scoped path evaluates new_df twice (affected-partition
+                # probe, then the anti-join) — persist across both uses
+                # unless the caller already did.
+                from pyspark import StorageLevel
+
+                we_persisted = new_df.storageLevel == StorageLevel(
+                    False, False, False, False
                 )
+                if we_persisted:
+                    new_df = new_df.persist()
+                try:
+                    scoped = self._merge_partition_scoped(
+                        spark, table, new_df, keys, partition_by[0],
+                        source_unique=source_unique,
+                    )
+                finally:
+                    if we_persisted:
+                        new_df.unpersist()
                 if scoped is not None:
                     return scoped
         existing = self.read(spark, table)
@@ -246,16 +277,31 @@ class Warehouse:
     ) -> str | None:
         """Rewrite only the partitions present in new_df; hard-link the rest.
 
-        Returns None (caller falls back to full rewrite) when a partition
-        value is NULL or its Hive directory encoding is ambiguous.
+        Only called when the partition column is a function of the merge keys
+        (see ``merge``). Returns None (caller falls back to full rewrite)
+        when a partition value is NULL or its Hive directory encoding could
+        differ from ``str(value)``.
         """
         import glob
+        import re
 
         from pyspark.sql import functions as F
 
         affected = [r[0] for r in new_df.select(part_col).distinct().collect()]
         if any(v is None for v in affected):
             return None
+        # Hive-layout guard: Spark percent-escapes special characters when it
+        # writes partition directories, so a value whose str() differs from
+        # the escaped encoding would miss its directory below and the stale
+        # old partition dir would be hard-linked ALONGSIDE the rewritten one
+        # (duplicated rows). Restrict the scoped path to values whose
+        # directory encoding is the identity: integers and simple
+        # alphanumeric strings.
+        for v in affected:
+            if not isinstance(v, int) and not (
+                isinstance(v, str) and re.fullmatch(r"[0-9A-Za-z._-]+", v)
+            ):
+                return None
         affected_dirs = {f"{part_col}={v}" for v in affected}
 
         old_snap = self.latest_snapshot(table)
@@ -264,8 +310,6 @@ class Warehouse:
             e for e in os.listdir(old_dir)
             if os.path.isdir(os.path.join(old_dir, e)) and e.startswith(f"{part_col}=")
         ]
-        if not all(e.startswith(f"{part_col}=") for e in old_part_dirs):
-            return None
 
         existing_aff = self.read(spark, table).where(
             F.col(part_col).isin(affected)
@@ -280,6 +324,19 @@ class Warehouse:
         snap = self._next_snapshot_id(table)
         data_dir = os.path.join(tdir, snap)
         merged_aff.write.mode("overwrite").partitionBy(part_col).parquet(data_dir)
+
+        # Verify against the directories Spark ACTUALLY wrote: every written
+        # partition dir must be one we predicted (same encoding), else the
+        # hard-link pass below could duplicate a partition under two names.
+        # Abandoning the uncommitted data dir is safe — the LATEST pointer
+        # has not been swapped, so readers never see it.
+        written = {
+            e for e in os.listdir(data_dir)
+            if os.path.isdir(os.path.join(data_dir, e)) and "=" in e
+        }
+        if not written <= affected_dirs:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return None
 
         # Carry untouched partitions into the new snapshot as hard links —
         # same inode, zero data movement, byte-identical (asserted in

@@ -76,6 +76,15 @@ def link_mentions(
     ``split="freq"``: one-pass top-frequency head (see split_dictionary_freq).
     """
     if split == "freq":
+        # The frequency pass aggregates mentions, and the join below reads
+        # mentions AGAIN — with an unpersisted input and no cross-branch CSE
+        # that re-runs the full extraction twice (the repo's own rule).
+        # Persist here unless the caller already did; the caller owns
+        # unpersisting (the cut is reused by everything downstream anyway).
+        from pyspark import StorageLevel
+
+        if mentions.storageLevel == StorageLevel(False, False, False, False):
+            mentions = mentions.persist()
         head, tail = split_dictionary_freq(mentions, dictionary)
     else:
         head, tail = split_dictionary(dictionary)

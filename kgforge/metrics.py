@@ -29,6 +29,19 @@ def with_lineage_part(df: DataFrame, key: str = "conv_id", n: int = N_LINEAGE_PA
     return df.withColumn("lineage_part", F.pmod(F.xxhash64(key), F.lit(n)).cast("int"))
 
 
+def with_lineage_part_of(df: DataFrame, cols: list[str], n: int = N_LINEAGE_PARTS) -> DataFrame:
+    """lineage_part derived from the given columns. Use the table's MERGE
+    keys for any table that gets partition-scoped merges: the scoped path is
+    only sound when the partition column is a function of the merge keys
+    (kgforge/io/tableio.py merge docstring) — e.g. the triples table
+    partitions on hash(subj, pred, obj), NOT on the provenance conv_id, so a
+    re-emitted triple with a different first-emission conv_id still lands in
+    (and is anti-joined against) the same partition."""
+    return df.withColumn(
+        "lineage_part", F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int")
+    )
+
+
 def record_stage_cached(
     wh: Warehouse, df_cached: DataFrame, stage: str, run_id: str
 ) -> None:

@@ -401,49 +401,6 @@ _COS_SQL = (
 )
 
 
-@register(
-    "dedup_embed_cosine",
-    sql=f"""
-    WITH q AS (SELECT vec_id, label, {_QUANT_SQL.format(c='embedding')} AS qv
-               FROM embeddings)
-    SELECT vec_id, nn_id, cos FROM (
-      SELECT a.vec_id, b.vec_id AS nn_id,
-             {_COS_SQL.format(a='a.qv', b='b.qv')} AS cos,
-             row_number() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY {_COS_SQL.format(a='a.qv', b='b.qv')} DESC, b.vec_id
-             ) AS rn
-      FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id
-    ) WHERE rn = 1
-    """,
-    doc=(
-        "Embedding near-dup: nearest neighbor by exact fixed-point cosine "
-        "within a label block (block-then-verify — the LSH bucket replaces the "
-        "label at scale)."
-    ),
-)
-def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _quant(F.col("embedding")).alias("qv")
-    )
-    a, b = q.alias("a"), q.alias("b")
-    cos = _cos(F.col("a.qv"), F.col("b.qv"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label"))
-               & (F.col("a.vec_id") != F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("nn_id"),
-            cos.alias("cos"),
-        )
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("nn_id"))
-        ))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "nn_id", "cos")
-    )
-
-
 N_QUERIES = 16
 TOP_K = 5
 
@@ -467,8 +424,9 @@ TOP_K = 5
     doc=(
         "Brute-force cosine top-k (the ANN correctness baseline): query set × "
         "full corpus, rank-k window. The big side streams; only the small "
-        "query side is broadcast — at scale this is the verify stage after "
-        "IVF/LSH candidate pruning."
+        "query side is broadcast (plan-asserted in tests/test_plans.py: the "
+        "corpus scan must not sit under a BroadcastExchange) — at scale this "
+        "is the verify stage after IVF/LSH candidate pruning."
     ),
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,8 +436,12 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = q.where(F.col("vec_id") < N_QUERIES)
     a, b = queries.alias("a"), q.alias("b")
     cos = _cos(F.col("a.qv"), F.col("b.qv"))
+    # Broadcast the BOUNDED query side (N_QUERIES rows); the corpus side
+    # streams through the nested-loop join. Round 2 had this reversed —
+    # broadcasting the full corpus is an executor OOM at 100×, and a
+    # non-equi join gives Spark no way to rescue it.
     pairs = (
-        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        F.broadcast(a).join(b, F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("nn_id"),
@@ -514,26 +476,214 @@ def _plane_weight_sql(p: int) -> str:
     )
 
 
+_PLANE_W_CACHE: dict = {}  # dims -> (dims × N_PLANES) int64 weight matrix
+
+
+def _plane_weights(dims: int):
+    """md5-derived hyperplane weight matrix, built ONCE per Python worker per
+    dims and cached at module level. Round 2 rebuilt it inside the UDF for
+    EVERY Arrow batch (dims × N_PLANES md5 calls + array construction per
+    batch — measured as part of the sim_lsh 1.5→2.8s regression); the cache
+    makes all batches after the first a dict hit. Bounded: one entry per
+    distinct embedding dimensionality seen by this worker."""
+    w = _PLANE_W_CACHE.get(dims)
+    if w is None:
+        import hashlib
+
+        import numpy as np
+
+        w = np.array(
+            [
+                [
+                    int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:4], 16) - 32768
+                    for p in range(N_PLANES)
+                ]
+                for d in range(dims)
+            ],
+            dtype=np.int64,
+        )
+        _PLANE_W_CACHE[dims] = w
+    return w
+
+
+_BUCKET_UDF = None
+
+
+def _bucket_udf():
+    """Vectorized Arrow UDF: array<long> embedding → 32-bit LSH bucket, as
+    ONE exact int64 matmul (n × dims) @ (dims × N_PLANES) per batch. All
+    arithmetic is exact (|dot| < 2^53) against the same md5-derived weight
+    table the DuckDB oracles rebuild symbolically, so buckets match
+    bit-for-bit. Built lazily (pandas_udf type resolution wants a live
+    session) and shared by sim_lsh_cosine and dedup_embed_cosine."""
+    global _BUCKET_UDF
+    if _BUCKET_UDF is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _bucket(qv):  # (pd.Series of int64 arrays) -> pd.Series[int64];
+            # no type hints: `from __future__ import annotations` stringifies
+            # them and pandas_udf rejects the unresolvable signature
+            import numpy as np
+            import pandas as pd
+
+            mat = np.stack(qv.to_numpy())  # (n, dims) int64
+            w = _plane_weights(mat.shape[1])  # cached per worker, not per batch
+            bits = (mat @ w) > 0  # (n, planes)
+            weights = 1 << np.arange(N_PLANES, dtype=np.int64)
+            return pd.Series((bits * weights).sum(axis=1))
+
+        _BUCKET_UDF = _bucket
+    return _BUCKET_UDF
+
+
+def banded_candidates(
+    sig: DataFrame,
+    bands: int = LSH_BANDS,
+    band_bits: int = LSH_BAND_BITS,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(vec_id, bucket [, block cols]) → DISTINCT directed candidate pairs
+    (vec_id, nn_id) that agree on ≥1 band (and on every block column).
+
+    The shuffle is on the (block, band, nib) equi-key — never an all-pairs
+    join, never a window over a fixed bucket set. Candidate volume is
+    n²·bands/2^band_bits per block: hold occupancy constant by raising
+    band_bits ~log2(corpus growth) (tested in tests/test_dedup_sim.py)."""
+    nib_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            (
+                (F.col("bucket") / ((1 << band_bits) ** b)).cast("long")
+                % (1 << band_bits)
+            ).alias("nib"),
+        )
+        for b in range(bands)
+    ]
+    cols = [*block_cols, "vec_id"]
+    bx = sig.select(*cols, F.explode(F.array(*nib_structs)).alias("bn")).select(
+        *cols, F.col("bn.b").alias("b"), F.col("bn.nib").alias("nib")
+    )
+    a, b2 = bx.alias("a"), bx.alias("b")
+    cond = (
+        (F.col("a.b") == F.col("b.b"))
+        & (F.col("a.nib") == F.col("b.nib"))
+        & (F.col("a.vec_id") != F.col("b.vec_id"))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b2, cond)
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nn_id"))
+        .distinct()
+    )
+
+
+# Shared DuckDB oracle fragments: quantized vectors + the symbolic bucket
+# reconstruction (the oracle recomputes the md5 weight table in pure SQL —
+# an independent implementation of the same deterministic definition).
+_Q_LABEL_SQL = (
+    f"q AS (SELECT vec_id, label, {_QUANT_SQL.format(c='embedding')} AS qv "
+    "FROM embeddings)"
+)
+_BUCKET_TERMS_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(generate_series(1, length(qv)), "
+    f"i -> qv[i] * {_plane_weight_sql(p)})) > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(N_PLANES)
+)
+_PROJ_SQL = f"proj AS (SELECT vec_id, label, qv, {_BUCKET_TERMS_SQL} AS bucket FROM q)"
+_BAND_DIV_SQL = " ".join(
+    f"WHEN {b} THEN {(1 << LSH_BAND_BITS) ** b}" for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "dedup_embed_cosine",
+    # The oracle reconstructs the SAME banded definition symbolically —
+    # md5-derived planes, band nibs, (label, band) candidates, exact
+    # fixed-point cosine, rank-1 — entirely in SQL, sharing no code with the
+    # Spark path. (A label-only all-pairs oracle is impossible to match
+    # losslessly here: the driver embeddings are uniform-random — measured
+    # max pairwise cosine 0.513 at sf0.01 — so NO banding scheme keeps exact
+    # label-NN both non-trivially and sub-quadratically; see SURVEY.md §10.
+    # True near-dups ARE caught deterministically: cos→1 ⇒ plane signs
+    # agree ⇒ hamming→0 ⇒ all bands match — asserted on the planted
+    # scaled-copy fixture in tests/test_dedup_sim.py.)
+    sql=f"""
+    WITH {_Q_LABEL_SQL},
+    {_PROJ_SQL},
+    bands AS (
+      SELECT vec_id, label, b,
+             (bucket // (CASE b {_BAND_DIV_SQL} END)) % {1 << LSH_BAND_BITS} AS nib
+      FROM proj, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id
+      FROM bands a JOIN bands b
+        ON a.label = b.label AND a.b = b.b AND a.nib = b.nib
+       AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nn_id, cos FROM (
+      SELECT c.vec_id, c.nn_id,
+             {_COS_SQL.format(a='x.qv', b='y.qv')} AS cos,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {_COS_SQL.format(a='x.qv', b='y.qv')} DESC, c.nn_id
+             ) AS rn
+      FROM cand c
+      JOIN q x ON c.vec_id = x.vec_id
+      JOIN q y ON c.nn_id = y.vec_id
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "Embedding near-dup: nearest banded neighbor within a (label, "
+        f"LSH-band) block — {N_PLANES} md5-derived hyperplanes, {LSH_BANDS} "
+        f"bands × {LSH_BAND_BITS} bits — verified by exact fixed-point "
+        "cosine, rank-1 per vector. Block size is bounded by band-bucket "
+        "occupancy (raise band bits with corpus growth), unlike the round-2 "
+        "label-only blocking whose blocks grew linearly with the corpus. "
+        "Real near-dups (cos→1) share ALL bands deterministically, so "
+        "recall on actual duplicates is exact."
+    ),
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    # ONE persisted cut (vec_id, label, qv, bucket): feeds both band-join
+    # sides and both verify-join sides (no cross-branch CSE in Catalyst).
+    q = (
+        emb.select("vec_id", "label", _quant(F.col("embedding")).alias("qv"))
+        .select("vec_id", "label", "qv", _bucket_udf()("qv").alias("bucket"))
+        .persist()
+    )
+    cand = banded_candidates(
+        q.select("label", "vec_id", "bucket"), block_cols=("label",)
+    )
+    x = q.select(F.col("vec_id").alias("vec_id"), F.col("qv").alias("qv_x"))
+    y = q.select(F.col("vec_id").alias("nn_id"), F.col("qv").alias("qv_y"))
+    cos = _cos(F.col("qv_x"), F.col("qv_y"))
+    return (
+        cand.join(x, "vec_id")
+        .join(y, "nn_id")
+        .withColumn("cos", cos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("nn_id"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "cos")
+    )
+
+
 @register(
     "sim_lsh_cosine",
     sql=f"""
-    WITH q AS (SELECT vec_id, {_QUANT_SQL.format(c='embedding')} AS qv
-               FROM embeddings),
-    proj AS (
-      SELECT vec_id, qv,
-             {" + ".join(
-                 f"(CASE WHEN list_sum(list_transform(generate_series(1, length(qv)), "
-                 f"i -> qv[i] * {_plane_weight_sql(p)})) > 0 THEN {1 << p} ELSE 0 END)"
-                 for p in range(N_PLANES)
-             )} AS bucket
-      FROM q
-    ),
+    WITH {_Q_LABEL_SQL},
+    {_PROJ_SQL},
     bands AS (
       SELECT vec_id, b,
-             (bucket // (CASE b {" ".join(
-                 f"WHEN {b} THEN {(1 << LSH_BAND_BITS) ** b}"
-                 for b in range(LSH_BANDS)
-             )} END)) % {1 << LSH_BAND_BITS} AS nib
+             (bucket // (CASE b {_BAND_DIV_SQL} END)) % {1 << LSH_BAND_BITS} AS nib
       FROM proj, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b)
     ),
     cand AS (
@@ -554,88 +704,37 @@ def _plane_weight_sql(p: int) -> str:
     ) WHERE rn <= {TOP_K}
     """,
     doc=(
-        "Random-hyperplane LSH ANN for cosine, banded + verified: 16 "
-        "deterministic md5-derived planes (exact integer projections, "
-        "engine-portable) banded 4x4 bits; candidate pairs come from band "
-        "equality (a bucket-key SELF-JOIN — shuffle on the band key, never "
-        "a window over a fixed bucket set, which would put each popular "
-        "bucket on a single task); candidates get an exact fixed-point "
-        "cosine verify and a per-query top-k rank (the window partitions by "
-        "vec_id, whose cardinality scales with the corpus). At larger scale "
-        "raise N_PLANES/LSH_BAND_BITS so band-bucket count grows with the "
-        "corpus; recall comes from the OR over bands (multi-probe)."
+        "Random-hyperplane LSH ANN for cosine, banded + verified: "
+        f"{N_PLANES} deterministic md5-derived planes (exact integer "
+        f"projections, engine-portable) banded {LSH_BANDS}x{LSH_BAND_BITS} "
+        "bits; candidate pairs come from band equality (a bucket-key "
+        "SELF-JOIN — shuffle on the band key, never a window over a fixed "
+        "bucket set, which would put each popular bucket on a single task); "
+        "candidates get an exact fixed-point cosine verify and a per-query "
+        "top-k rank (the window partitions by vec_id, whose cardinality "
+        "scales with the corpus). At larger scale raise "
+        "N_PLANES/LSH_BAND_BITS so band-bucket count grows with the corpus; "
+        "recall comes from the OR over bands (multi-probe)."
     ),
 )
 def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     emb = load(spark, sf_dir, "embeddings")
 
-    # The 32-plane projection runs as a vectorized Arrow UDF: one int64
-    # matmul (n x dims) @ (dims x 32) per batch. All arithmetic is exact
-    # (|dot| < 2^53) and the weight matrix is the same md5-derived table the
-    # DuckDB oracle rebuilds symbolically, so buckets match bit-for-bit.
+    # The projection runs as the shared vectorized Arrow UDF (_bucket_udf):
+    # one exact int64 matmul per batch, weight matrix cached per worker.
     # The pure-SQL alternative (32 aggregate/zip_with terms) costs ~9s of
     # py4j Column construction or a multi-second janino compile of the
     # 32-term codegen tree — the Arrow batch path does neither.
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _bucket(qv):  # (pd.Series of int64 arrays) -> pd.Series[int64];
-        # no type hints: `from __future__ import annotations` stringifies
-        # them and pandas_udf rejects the unresolvable signature
-        import numpy as np
-
-        mat = np.stack(qv.to_numpy())  # (n, dims) int64
-        w = np.array(
-            [
-                [
-                    int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:4], 16) - 32768
-                    for p in range(N_PLANES)
-                ]
-                for d in range(mat.shape[1])
-            ],
-            dtype=np.int64,
-        )  # (dims, planes)
-        bits = (mat @ w) > 0  # (n, planes)
-        weights = (1 << np.arange(N_PLANES, dtype=np.int64))
-        return pd.Series((bits * weights).sum(axis=1))
-
     # ONE persisted cut carrying (vec_id, qv, bucket): it feeds the band
     # self-join (both sides) and both sides of the verify join — Catalyst
     # has no cross-branch CSE, and an unpersisted cut would re-run the
     # projection once per branch.
     q = (
         emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-        .select("vec_id", "qv", _bucket("qv").alias("bucket"))
+        .select("vec_id", "qv", _bucket_udf()("qv").alias("bucket"))
         .persist()
     )
-    withb = q.select("vec_id", "bucket")
-    nib_structs = [
-        F.struct(
-            F.lit(b).alias("b"),
-            (
-                (F.col("bucket") / ((1 << LSH_BAND_BITS) ** b)).cast("long")
-                % (1 << LSH_BAND_BITS)
-            ).alias("nib"),
-        )
-        for b in range(LSH_BANDS)
-    ]
-    bands = withb.select(
-        "vec_id", F.explode(F.array(*nib_structs)).alias("bn")
-    ).select("vec_id", F.col("bn.b").alias("b"), F.col("bn.nib").alias("nib"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.nib") == F.col("b.nib"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nn_id"))
-        .distinct()
-    )
+    cand = banded_candidates(q.select("vec_id", "bucket"))
     x = q.select(F.col("vec_id").alias("vec_id"), F.col("qv").alias("qv_x"))
     y = q.select(F.col("vec_id").alias("nn_id"), F.col("qv").alias("qv_y"))
     cos = _cos(F.col("qv_x"), F.col("qv_y"))

@@ -98,9 +98,16 @@ def run_pipeline(
     raw = triples.build_raw_triples(linked_all)
     remapped = canon.remap_triples(raw, cmap)
     final = triples.dedup_triples(remapped)
-    final = metrics.with_lineage_part(final)
+    # lineage_part for the TRIPLES table derives from the merge keys, not
+    # from the provenance conv_id: the partition-scoped merge is only sound
+    # when partition = f(keys) (tableio merge docstring). conv_id is
+    # provenance here — an incremental batch can re-emit an existing triple
+    # with a different first-emission conv_id, which under conv_id
+    # partitioning would dodge the scoped anti-join and duplicate the row.
+    final = metrics.with_lineage_part_of(final, ["subj", "pred", "obj"])
     wh.merge(spark, "triples", final, keys=["subj", "pred", "obj"],
-             partition_by=["lineage_part"], source_unique=True)
+             partition_by=["lineage_part"], source_unique=True,
+             part_determined_by_keys=True)
     # source_unique: dedup_triples output is grouped by exactly these keys —
     # the sink's defensive dropDuplicates would re-shuffle the whole table
     metrics.record_stage_from_files(wh, "triples", "triples", cfg.run_id)

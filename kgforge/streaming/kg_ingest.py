@@ -63,8 +63,16 @@ def ingest(
             bdf.select("conv_id", "turn_idx", "text"), dictionary
         )
         linked = metrics.with_lineage_part(link.link_mentions(mentions, dictionary))
+        # Partitioned by lineage_part = f(conv_id) with conv_id a merge key,
+        # so micro-batches 2..N take the PARTITION-SCOPED merge: only the
+        # lineage parts this batch's conversations hash into are anti-joined
+        # and rewritten; the rest of the linked table is hard-linked forward
+        # (inode-asserted in tests/test_streaming.py). At scale that makes
+        # per-micro-batch sink cost proportional to the batch, not the table.
         wh.merge(
-            bdf.sparkSession, "linked", linked, keys=["conv_id", "turn_idx", "m_idx"]
+            bdf.sparkSession, "linked", linked,
+            keys=["conv_id", "turn_idx", "m_idx"],
+            partition_by=["lineage_part"], part_determined_by_keys=True,
         )
 
     q = (
@@ -88,9 +96,11 @@ def finalize(
     linked_all = wh.read(spark, "linked").persist()
     raw = triples.build_raw_triples(linked_all)
     cmap = canon.canonical_map_auto(dictionary.select("entity_id").distinct(), xref_edges)
-    final = metrics.with_lineage_part(
-        triples.dedup_triples(canon.remap_triples(raw, cmap))
+    final = metrics.with_lineage_part_of(
+        triples.dedup_triples(canon.remap_triples(raw, cmap)),
+        ["subj", "pred", "obj"],  # partition = f(merge keys): scoped-merge sound
     )
     wh.merge(spark, "triples", final, keys=["subj", "pred", "obj"],
-             partition_by=["lineage_part"])
+             partition_by=["lineage_part"], source_unique=True,
+             part_determined_by_keys=True)
     return wh.read(spark, "triples")

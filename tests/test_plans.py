@@ -79,6 +79,21 @@ def test_bucketed_join_has_no_exchange(spark):
     assert tree.count("Exchange") == 0
 
 
+def test_sim_topk_broadcasts_query_side_not_corpus(spark):
+    """Round-2 scale-killer (VERDICT What's-wrong #1): the brute-force
+    cosine baseline must broadcast the BOUNDED query set and stream the
+    corpus. Broadcasting the corpus side (BuildRight here) is an executor
+    OOM at 100× and, being a non-equi join, nothing in Spark rescues it."""
+    from kgforge.ops.similarity import sim_topk_cosine
+
+    df = sim_topk_cosine(spark, SF)
+    tree = _plan(df).split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin Inner BuildLeft" in tree
+    assert "BuildRight" not in tree
+    # exactly one broadcast — the query cut; the corpus scan streams
+    assert tree.count("BroadcastExchange") == 1
+
+
 def test_dedup_triples_is_partial_final_aggregate_no_window(spark):
     """dedup_triples must compile to a partial/final aggregate pair around
     one Exchange (map-side duplicate collapse) and NO row_number window over

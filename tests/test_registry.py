@@ -29,20 +29,41 @@ def test_all_ops_iterates_in_curated_order():
     assert list(registry.all_ops()) == registry._ORDER
 
 
-def test_driver_window_covers_round1_unchecked_keys():
-    # Every key the round-1 driver never reached must sit inside the first
-    # 50 this round, plus the round-1 FAIL (graph_nodes, fixed in round 2).
+def test_driver_window_covers_round3_targets():
+    """Round-3 rotation contract: the upgraded oracles the driver has never
+    hash-checked, every key whose implementation changed this round, and the
+    keys last driver-checked in round 1 must all sit inside the first 50."""
     window = set(registry._ORDER[:50])
-    round1_unchecked = {
-        "sort_global", "set_union", "set_intersect", "set_except", "dedup",
-        "join_bucketed", "agg_quantile", "agg_cube",
-        "dedup_exact", "dedup_minhash", "dedup_simhash",
-        "dedup_ngram_jaccard", "dedup_embed_cosine",
-        "sim_topk_cosine", "sim_lsh_cosine", "sim_ivf_cosine",
-        "stream_tumble_batch", "stream_slide_batch", "stream_session_batch",
-        "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-        "text_trigram_quality",
-        "graph_nodes",
+    must_be_windowed = {
+        # oracles upgraded late in round 2, zero driver hash-checks so far
+        "scan_snapshot", "sink_merge", "agg_approx",
+        # implementation changed in round 3
+        "sim_topk_cosine", "dedup_embed_cosine", "sim_lsh_cosine",
+        "pipe_triples",
+        # last driver-checked in round 1 (re-certify on current code)
+        "join_smj", "join_shj", "join_left", "join_semi", "join_anti",
+        "join_range", "join_cross", "agg_distinct", "agg_collect",
+        "fn_string", "fn_time", "fn_math", "fn_cond", "fn_array", "fn_map",
+        "fn_json", "fn_hash", "win_lag", "win_range", "win_analytic",
+        "topk_global",
     }
-    missing = round1_unchecked - window
+    missing = must_be_windowed - window
     assert not missing, f"keys outside the driver's 50-key window: {sorted(missing)}"
+
+
+def test_keys_past_window_are_round2_green():
+    """Everything past the 50-key window must hold a green CORRECTNESS_r02
+    row (and be unchanged this round) — no key ever loses driver coverage."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r02.json")
+    with open(path) as f:
+        r02 = json.load(f)
+    for key in registry._ORDER[50:]:
+        row = r02.get(key)
+        assert row is not None, f"{key} past window with no r02 row"
+        ok = row.get("hash_match") is True or (
+            row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0
+        )
+        assert ok, f"{key} past window but r02 row not green: {row}"

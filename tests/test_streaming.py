@@ -98,3 +98,46 @@ def test_streaming_kg_ingestion_equals_batch(spark, spark_corpus, tmp_path_facto
     kg_ingest.ingest(stream2, d, wh_root)
     tri2 = kg_ingest.finalize(spark, d, e, wh_root)
     assert {(r["subj"], r["pred"], r["obj"]) for r in tri2.collect()} == batch
+
+
+def test_streaming_ingest_uses_partition_scoped_merge(spark, tmp_path_factory):
+    """Micro-batches 2..N must take the PARTITION-SCOPED merge on the linked
+    table (lineage_part = f(conv_id) with conv_id a merge key): the snapshot
+    manifest records the merge scope, and lineage partitions untouched by a
+    batch are hard-linked (same inode) from the prior snapshot instead of
+    rewritten — per-batch sink cost proportional to the batch, not the
+    table."""
+    import glob
+    import os
+
+    from kgforge import corpus
+    from kgforge.io.tableio import Warehouse
+    from kgforge.streaming import kg_ingest
+
+    # the derived sf0.001 corpus has enough conversations (~130) that each
+    # micro-batch's lineage parts are a strict subset of the table's
+    tr = corpus.derive_transcripts(spark, SF)
+    d = corpus.derive_dictionary(spark, SF)
+    wh_root = str(tmp_path_factory.mktemp("stream_scoped"))
+    stream = kg_ingest.transcripts_stream(spark, tr, n_files=3)
+    kg_ingest.ingest(stream, d, wh_root)
+    wh = Warehouse(wh_root)
+    manifests = wh.snapshots("linked")
+    assert len(manifests) >= 2  # one snapshot per micro-batch
+    scoped = [m for m in manifests if "merge_scope" in m]
+    assert scoped, "no micro-batch took the partition-scoped merge path"
+    m2 = scoped[-1]
+    prev, snap = m2["parent"], m2["snapshot_id"]
+    scope_dirs = {f"lineage_part={v}" for v in m2["merge_scope"]}
+    prev_parts = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(wh_root, "linked", prev, "lineage_part=*"))
+    }
+    untouched = prev_parts - scope_dirs
+    assert untouched, "every partition touched — fixture can't prove linking"
+    for part in sorted(untouched):
+        old = sorted(glob.glob(os.path.join(wh_root, "linked", prev, part, "*.parquet")))
+        new = sorted(glob.glob(os.path.join(wh_root, "linked", snap, part, "*.parquet")))
+        assert old and [os.stat(f).st_ino for f in old] == [
+            os.stat(f).st_ino for f in new
+        ]

@@ -82,12 +82,14 @@ def test_partition_scoped_merge_links_untouched_partitions(spark, tmp_path):
         [(1, "a", 0), (2, "b", 0), (3, "c", 1), (4, "d", 2)],
         "k int, v string, lineage_part int",
     )
-    wh.merge(spark, "t", base, keys=["k"], partition_by=["lineage_part"])
+    wh.merge(spark, "t", base, keys=["k"], partition_by=["lineage_part"],
+             part_determined_by_keys=True)
     snap1 = wh.latest_snapshot("t")
     batch = spark.createDataFrame(
         [(2, "B", 0), (5, "e", 0)], "k int, v string, lineage_part int"
     )
-    wh.merge(spark, "t", batch, keys=["k"], partition_by=["lineage_part"])
+    wh.merge(spark, "t", batch, keys=["k"], partition_by=["lineage_part"],
+             part_determined_by_keys=True)
     snap2 = wh.latest_snapshot("t")
     assert snap2 != snap1
 
@@ -118,11 +120,71 @@ def test_partition_scoped_merge_idempotent(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", 0), (2, "b", 1)], "k int, v string, lineage_part int"
     )
-    wh.merge(spark, "t", df, keys=["k"], partition_by=["lineage_part"])
+    wh.merge(spark, "t", df, keys=["k"], partition_by=["lineage_part"],
+             part_determined_by_keys=True)
     before = _rows(wh.read(spark, "t").select("k", "v", "lineage_part"))
-    wh.merge(spark, "t", df, keys=["k"], partition_by=["lineage_part"])
+    wh.merge(spark, "t", df, keys=["k"], partition_by=["lineage_part"],
+             part_determined_by_keys=True)
     after = _rows(wh.read(spark, "t").select("k", "v", "lineage_part"))
     assert before == after and wh.rows("t") == 2
+
+
+def test_merge_scoped_path_refused_without_key_dependency(spark, tmp_path):
+    """THE soundness regression (round-2 advice): keys=(k) but the partition
+    column is provenance (NOT a function of k). A batch re-emitting an
+    existing key under a DIFFERENT partition value must not insert a
+    duplicate — the scoped path must be refused and the full-table anti-join
+    taken."""
+    wh = Warehouse(str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k int, v string, prov_part int"
+    )
+    wh.merge(spark, "t", base, keys=["k"], partition_by=["prov_part"])
+    # key 1 re-emitted with a different provenance partition (prov_part=7):
+    # under the (broken) partition-scoped anti-join, partition 0 would never
+    # be consulted and (1, "A", 7) would be inserted alongside (1, "a", 0).
+    batch = spark.createDataFrame([(1, "A", 7)], "k int, v string, prov_part int")
+    wh.merge(spark, "t", batch, keys=["k"], partition_by=["prov_part"])
+    got = _rows(wh.read(spark, "t").select("k", "v"))
+    assert got == [(1, "a"), (2, "b")]  # no duplicate key, first write wins
+
+
+def test_merge_scoped_engages_when_part_in_keys(spark, tmp_path):
+    """part_col in keys needs no declaration: the dependency is trivial."""
+    import glob
+    import os
+
+    wh = Warehouse(str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k int, v string, part int"
+    )
+    wh.merge(spark, "t", base, keys=["k", "part"], partition_by=["part"])
+    snap1 = wh.latest_snapshot("t")
+    batch = spark.createDataFrame([(3, "c", 0)], "k int, v string, part int")
+    wh.merge(spark, "t", batch, keys=["k", "part"], partition_by=["part"])
+    snap2 = wh.latest_snapshot("t")
+    old = glob.glob(str(tmp_path / "t" / snap1 / "part=1" / "*.parquet"))
+    new = glob.glob(str(tmp_path / "t" / snap2 / "part=1" / "*.parquet"))
+    assert old and {os.stat(f).st_ino for f in old} == {os.stat(f).st_ino for f in new}
+    assert len(_rows(wh.read(spark, "t"))) == 3
+
+
+def test_merge_scoped_falls_back_on_escapable_partition_values(spark, tmp_path):
+    """String partition values that Spark percent-escapes in directory names
+    (here: a space) must refuse the scoped path — a str(v) directory match
+    would miss the escaped dir and hard-link the stale partition alongside
+    the rewritten one. Content must still be correct via the full path."""
+    wh = Warehouse(str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "x", "a b"), (2, "y", "ok")], "k int, v string, part string"
+    )
+    wh.merge(spark, "t", base, keys=["k", "part"], partition_by=["part"])
+    batch = spark.createDataFrame([(1, "X", "a b"), (3, "z", "a b")],
+                                  "k int, v string, part string")
+    wh.merge(spark, "t", batch, keys=["k", "part"], partition_by=["part"])
+    got = _rows(wh.read(spark, "t").select("k", "v"))
+    assert got == [(1, "x"), (2, "y"), (3, "z")]
+    assert wh.rows("t") == 3
 
 
 def test_iceberg_statement_rendering():
