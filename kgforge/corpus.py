@@ -142,9 +142,22 @@ def derive_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _derive_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("text")
+    # Per-document filter + array_distinct BEFORE the explode: the global
+    # distinct then shuffles one row per unique (doc, token) instead of one
+    # per raw token occurrence — same result (distinct is idempotent), and
+    # at corpus scale the shuffle shrinks by the in-document repetition
+    # factor. Mirrored semantically (not structurally) by DICTIONARY_SQL.
     toks = (
-        docs.select(F.explode(F.split("text", " ")).alias("surface"))
-        .where(F.length("surface") >= MIN_TOKEN_LEN)
+        docs.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split("text", " "),
+                        lambda t: F.length(t) >= MIN_TOKEN_LEN,
+                    )
+                )
+            ).alias("surface")
+        )
         .distinct()
     )
     return toks.select(

@@ -189,7 +189,12 @@ def pipe_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = triples.build_raw_triples(linked)
     cmap = corpus.derive_canonical_map(spark, sf_dir)
     remapped = canon.remap_triples(raw, cmap)
-    return triples.dedup_triples(remapped)
+    # linked rows scale ~linearly with document count (≈44/doc measured at
+    # sf0.01); decide the dedup shape from parquet footers — no count job
+    est_linked = corpus.n_docs(spark, sf_dir) * 44
+    return triples.dedup_triples(
+        remapped, two_level=est_linked >= triples.TWO_LEVEL_MIN_ROWS
+    )
 
 
 @register(

@@ -97,7 +97,12 @@ def run_pipeline(
     # ---- stage 3: triples + canonical remap + dedup + MERGE --------------
     raw = triples.build_raw_triples(linked_all)
     remapped = canon.remap_triples(raw, cmap)
-    final = triples.dedup_triples(remapped)
+    # two-level dedup only above the threshold — decided from the manifest
+    # row count (zero Spark jobs; cfg.observed["linked_rows"] is already it)
+    final = triples.dedup_triples(
+        remapped,
+        two_level=cfg.observed["linked_rows"] >= triples.TWO_LEVEL_MIN_ROWS,
+    )
     # lineage_part for the TRIPLES table derives from the merge keys, not
     # from the provenance conv_id: the partition-scoped merge is only sound
     # when partition = f(keys) (tableio merge docstring). conv_id is

@@ -97,7 +97,11 @@ def finalize(
     raw = triples.build_raw_triples(linked_all)
     cmap = canon.canonical_map_auto(dictionary.select("entity_id").distinct(), xref_edges)
     final = metrics.with_lineage_part_of(
-        triples.dedup_triples(canon.remap_triples(raw, cmap)),
+        triples.dedup_triples(
+            canon.remap_triples(raw, cmap),
+            # manifest row count decides the dedup shape — no count job
+            two_level=wh.rows("linked") >= triples.TWO_LEVEL_MIN_ROWS,
+        ),
         ["subj", "pred", "obj"],  # partition = f(merge keys): scoped-merge sound
     )
     wh.merge(spark, "triples", final, keys=["subj", "pred", "obj"],

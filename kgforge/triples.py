@@ -21,6 +21,15 @@ from pyspark.sql import functions as F
 
 TRIPLE_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "confidence"]
 
+# Engage the two-level (per-conversation, then global) dedup aggregation
+# only above this input size. The extra per-conv pass bounds map-side
+# combine output by a data property (it cut the 1M-conv triples stage
+# 48.4→40.2s at local[32]) but costs a full extra aggregation that is pure
+# overhead at toy scale (measured +3s on the sf0.1 bench). Callers decide
+# from metadata that is free to read — warehouse manifest row counts or
+# parquet footers — never from a Spark count job.
+TWO_LEVEL_MIN_ROWS = 2_000_000
+
 
 def build_raw_triples(linked: DataFrame) -> DataFrame:
     """linked(conv_id, turn_idx, m_idx, entity_id, curie, prior) → raw triples.
@@ -81,8 +90,13 @@ def build_raw_triples(linked: DataFrame) -> DataFrame:
     return resolved.unionByName(co).unionByName(mw)
 
 
-def dedup_triples(triples: DataFrame) -> DataFrame:
+def dedup_triples(triples: DataFrame, two_level: bool = True) -> DataFrame:
     """First-emission dedup per (subj, pred, obj); provenance kept.
+
+    ``two_level=False`` collapses to a single global aggregation — correct
+    at any size (min is associative) but its combine output grows with
+    parallelism × key popularity; use it only below TWO_LEVEL_MIN_ROWS
+    (equality of both paths is tested in tests/test_invariants.py).
 
     Implemented as min(struct) aggregation, NOT a row_number window: head
     entities make (subj, pred, obj) groups enormously skewed (a popular
@@ -131,12 +145,17 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     # partition count — and the second aggregate then shuffles only that
     # bounded set. min is associative, and conv_id prefixes the encoded
     # provenance, so min-per-conv → global min == global first emission.
-    per_conv = triples.groupBy("subj", "pred", "obj", "conv_id").agg(
-        F.min(prov_str).alias("prov")
-    )
+    if two_level:
+        pre = triples.groupBy("subj", "pred", "obj", "conv_id").agg(
+            F.min(prov_str).alias("prov")
+        )
+        final = pre.groupBy("subj", "pred", "obj").agg(F.min("prov").alias("prov"))
+    else:
+        final = triples.groupBy("subj", "pred", "obj").agg(
+            F.min(prov_str).alias("prov")
+        )
     return (
-        per_conv.groupBy("subj", "pred", "obj")
-        .agg(F.min("prov").alias("prov"))
+        final
         .select(
             "subj",
             "pred",

@@ -53,3 +53,29 @@ def test_mention_ids_stable(spark, spark_corpus):
     ids1 = sorted(r["mention_id"] for r in m1.collect())
     ids2 = sorted(r["mention_id"] for r in m2.collect())
     assert ids1 == ids2
+
+
+def test_dedup_triples_two_level_equals_single_level(spark):
+    """The size-adaptive dedup must be a pure physical choice: both shapes
+    (per-conv pre-aggregation vs single global aggregation) yield the
+    identical first-emission triple set."""
+    import random
+
+    from kgforge.triples import dedup_triples
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(500):
+        rows.append((
+            f"e{rng.randrange(20)}", "co_occurs", f"e{rng.randrange(20)}",
+            f"c{rng.randrange(30)}", rng.randrange(50), rng.randrange(5),
+            round(rng.random(), 3),
+        ))
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, conv_id string, "
+        "turn_idx int, m_idx int, confidence double",
+    )
+    two = sorted(map(tuple, dedup_triples(t, two_level=True).collect()))
+    one = sorted(map(tuple, dedup_triples(t, two_level=False).collect()))
+    assert two == one
