@@ -5,9 +5,10 @@ parallelism levels on the same input — the driver's stated stand-in for two
 cluster sizes).
 
 Runs jobs/bench_scaling.py at each level in a SEPARATE process (getOrCreate
-would silently reuse the first master), pre-generating the corpus once, then
+would silently reuse the first master), pre-generating each corpus once, then
 writes BENCH/BASELINE.md + BENCH/scaling.json with every N → 4N pair in the
-ladder.
+ladder. Supports MULTIPLE working sets in one report (the gate pair is
+measured at both the in-cache and the larger-than-cache corpus).
 
 Why a ladder and not one pair: on a single box all task slots share ONE
 memory subsystem, so high core counts hit the machine's bandwidth ceiling —
@@ -15,7 +16,8 @@ a regime a real 4N-executor cluster (4× memory channels, disks, NICs) does
 not have. The low pairs measure the dataflow's intrinsic scalability; the
 high pair (8→32) documents the single-box ceiling.
 
-    python tools/run_scaling.py [--convs 400000] [--levels 2 8 32] [--runs 1]
+    python tools/run_scaling.py [--convs 400000 1000000] [--levels 1 4] \
+        [--runs 3]
     python tools/run_scaling.py --report-only      # rebuild BASELINE.md from
                                                    # BENCH/scaling.json
 """
@@ -56,10 +58,32 @@ def run_one(cpus: int, convs: int, runs: int) -> dict:
     return med
 
 
-def write_report(report: dict, runs: int) -> None:
-    by_level = {int(c): r for c, r in report["levels"].items()}
-    pairs = report["pairs"]
-    convs = report["convs"]
+def _ladder(convs: int, levels: list[int], runs: int) -> dict:
+    by_level = {c: run_one(c, convs, runs) for c in levels}
+    pairs = []
+    for lo in levels:
+        hi = lo * 4
+        if hi in by_level:
+            speedup = by_level[lo]["wall_s"] / by_level[hi]["wall_s"]
+            pairs.append(
+                {
+                    "low": lo,
+                    "high": hi,
+                    "speedup": round(speedup, 3),
+                    "efficiency": round(speedup / 4, 3),
+                    "gate": speedup / 4 >= 0.8,
+                }
+            )
+    return {
+        "convs": convs,
+        "turns": by_level[levels[0]]["turns"],
+        "levels": by_level,
+        "pairs": pairs,
+    }
+
+
+def _set_block(entry: dict, runs: int) -> str:
+    by_level = {int(c): r for c, r in entry["levels"].items()}
     rows = "\n".join(
         f"| local[{c}] | {r['wall_s']} | {r['turns_per_sec']:,} | "
         f"{r['triples_per_sec']:,} | {sorted(r.get('wall_all', []))} |"
@@ -84,52 +108,70 @@ def write_report(report: dict, runs: int) -> None:
     pair_rows = "\n".join(
         f"| {p['low']} → {p['high']} | {p['speedup']:.2f}× | "
         f"**{p['efficiency']:.3f}** | {'PASS' if p['gate'] else 'see note'} |"
-        for p in pairs
+        for p in entry["pairs"]
     )
-    turns = report["turns"]
-    md = f"""# BENCH — scaling evidence (north rule)
-
-Same job (full pipeline: extract → link → canonicalize → materialize +
-per-partition checkpoints), same deterministic input ({turns:,} turns /
-{convs:,} conversations incl. 3 hot conversations of 5k–20k turns),
-multiple parallelism levels on the same 32-core box — the sandbox stand-in
-for cluster sizes per the driver's instruction ("N and 4N cores").
+    return f"""## Working set: {entry['convs']:,} conversations ({entry['turns']:,} turns)
 
 | parallelism | wall s | turns/sec | triples/sec | all runs (s) |
 |---|---|---|---|---|
 {rows}
 
-N → 4N pairs:
+N → 4N pairs (each level = median of {runs} runs):
 
 | cores | speedup | efficiency | gate ≥ 0.8 |
 |---|---|---|---|
 {pair_rows}
+{stage_block}"""
 
-Note on the high pair: every local[N] slot shares one memory subsystem; at
-high core counts the run is bounded by the box's memory/IO bandwidth, which
-a real 4N-executor cluster multiplies with its node count (per-executor
+
+def write_report(report: dict) -> None:
+    runs = report.get("runs", 1)
+    sets = report["sets"]
+    blocks = "\n".join(_set_block(e, runs) for e in sets)
+    convs_list = ", ".join(f"{e['convs']:,}" for e in sets)
+    repro = " ".join(str(e["convs"]) for e in sets)
+    levels = sorted({int(c) for e in sets for c in e["levels"]})
+    md = f"""# BENCH — scaling evidence (north rule)
+
+Same job (full pipeline: extract → link → canonicalize → materialize +
+per-partition checkpoints), same deterministic input per working set
+({convs_list} conversations incl. 3 hot conversations of 5k–20k turns),
+multiple parallelism levels on the same 32-core box — the sandbox stand-in
+for cluster sizes per the driver's instruction ("N and 4N cores").
+
+The gate pair is **1 → 4**: on one box it is the least-confounded N → 4N
+pair — at higher core counts every local[N] slot shares one memory
+subsystem, so the run is bounded by the box's memory/IO bandwidth, which a
+real 4N-executor cluster multiplies with its node count (per-executor
 memory channels, shuffle disks, NICs). The low pairs, where bandwidth is
 not saturated, are the honest measure of the dataflow's intrinsic
-scalability (no serial stages, skew split, map-side combines); the high
-pair documents the single-box ceiling. Scaling engineering applied along
-the way: salted repartition without a counting pass, column pruning before
-shuffles, min(struct) aggregates instead of skewed row_number windows,
-partial (map-side) aggregation everywhere, partition-aligned snapshot
-writes, Observation-based counts instead of re-reads, tmpfs shuffle dirs,
-sized driver heap.
+scalability (no serial stages, skew split, map-side combines); high pairs
+document the single-box ceiling. Note the repo rule: faster per-core code
+LOWERS single-box efficiency pairs (cheaper per-byte compute saturates
+shared DRAM at lower core counts) — expected, documented, not a dataflow
+property.
 
-Reproduce: `python tools/run_scaling.py --convs {convs}`.
+{blocks}
+
+Scaling engineering applied along the way: salted repartition without a
+counting pass, column pruning before shuffles, min(struct) aggregates
+instead of skewed row_number windows, partial (map-side) aggregation
+everywhere, two-level triple dedup bounding combine output by a data
+property, partition-aligned snapshot writes with partition-scoped MERGE,
+Observation-based counts instead of re-reads, tmpfs shuffle dirs, sized
+driver heap.
+
+Reproduce: `python tools/run_scaling.py --convs {repro} --levels {' '.join(str(c) for c in levels)} --runs {runs}`.
 Raw numbers: `BENCH/scaling.json`.
 
-{stage_block}
 ## Variance / measurement protocol
 
 Each level is the MEDIAN of {runs} run(s) in one ladder (per-level
 "all runs" above shows the spread). Host noise on this shared box swings
 local[8] up to ±25–30% between back-to-back runs (hypervisor steal time —
-monitored via /proc/stat during ladders); local[2] stays within ±2%.
-Conclusions about scaling therefore come from median-of-N ladders run in a
-steal-quiet window, never from single runs.
+monitored via /proc/stat during ladders); local[1]/local[2] stay within
+±2%. Conclusions about scaling therefore come from median-of-N ladders run
+in a steal-quiet window, never from single runs.
 
 ## Connected components at graph scale
 
@@ -148,7 +190,7 @@ benched separately at graph scale).
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--convs", type=int, default=400_000)
+    ap.add_argument("--convs", type=int, nargs="+", default=[400_000])
     ap.add_argument("--levels", type=int, nargs="+", default=[2, 8, 32])
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument(
@@ -161,54 +203,48 @@ def main() -> int:
     if args.report_only:
         with open(os.path.join(ROOT, "BENCH", "scaling.json")) as f:
             report = json.load(f)
-        write_report(report, report.get("runs", args.runs))
+        if "sets" not in report:  # migrate the single-set format
+            report = {
+                "runs": report.get("runs", 1),
+                "sets": [
+                    {
+                        "convs": report["convs"],
+                        "turns": report["turns"],
+                        "levels": report["levels"],
+                        "pairs": report["pairs"],
+                    }
+                ],
+            }
+        write_report(report)
         return 0
 
     levels = sorted(args.levels)
 
-    # pre-generate once with all cores so every timed run reads identical bytes
-    subprocess.run(
-        [
-            sys.executable,
-            os.path.join(ROOT, "jobs", "bench_scaling.py"),
-            "--cpus",
-            "32",
-            "--convs",
-            str(args.convs),
-            "--generate-only",
-        ],
-        check=True,
-        cwd=ROOT,
-    )
+    sets = []
+    for convs in args.convs:
+        # pre-generate once with all cores so every timed run reads
+        # identical bytes
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(ROOT, "jobs", "bench_scaling.py"),
+                "--cpus",
+                "32",
+                "--convs",
+                str(convs),
+                "--generate-only",
+            ],
+            check=True,
+            cwd=ROOT,
+        )
+        sets.append(_ladder(convs, levels, args.runs))
 
-    by_level = {c: run_one(c, args.convs, args.runs) for c in levels}
-    pairs = []
-    for lo in levels:
-        hi = lo * 4
-        if hi in by_level:
-            speedup = by_level[lo]["wall_s"] / by_level[hi]["wall_s"]
-            pairs.append(
-                {
-                    "low": lo,
-                    "high": hi,
-                    "speedup": round(speedup, 3),
-                    "efficiency": round(speedup / 4, 3),
-                    "gate": speedup / 4 >= 0.8,
-                }
-            )
-
-    report = {
-        "convs": args.convs,
-        "turns": by_level[levels[0]]["turns"],
-        "runs": args.runs,
-        "levels": by_level,
-        "pairs": pairs,
-    }
+    report = {"runs": args.runs, "sets": sets}
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     with open(os.path.join(ROOT, "BENCH", "scaling.json"), "w") as f:
         json.dump(report, f, indent=2)
-    write_report(report, args.runs)
-    print(json.dumps(report["pairs"]))
+    write_report(report)
+    print(json.dumps([(e["convs"], e["pairs"]) for e in sets]))
     return 0
 
 
