@@ -45,6 +45,8 @@ HEADLINE = [
     "agg_group",          # shuffle hash aggregate
     "win_rank",           # window rank over (conv, turn)
     "dedup_minhash",      # MinHash-LSH near-dup over documents
+    "dedup_clusters",     # near-dup transitive closure (minhash + CC)
+    "graph_pagerank",     # iterative integer PageRank over the entity graph
     "dedup_exact",        # exact hash dedup
     "dedup_ngram_jaccard",  # blocked n-gram Jaccard
     "sim_topk_cosine",    # brute-force cosine top-k over embeddings

@@ -136,6 +136,36 @@ class Warehouse:
             raise FileNotFoundError(f"table {table!r} has no snapshot in {self.root}")
         return spark.read.parquet(os.path.join(self._tdir(table), snap))
 
+    def changes(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_snapshot: str,
+        to_snapshot: str | None = None,
+    ) -> DataFrame:
+        """Change data feed between two snapshots (Iceberg/Delta CDF
+        semantics): every row added between ``from_snapshot`` and
+        ``to_snapshot`` tagged ``change_type='insert'``, every row removed
+        tagged ``'delete'``. An update surfaces as delete + insert (this
+        warehouse is insert-only via merge, so updates only arise from
+        overwriting write_snapshot calls).
+
+        Parquet-fallback cost model: the diff is two ``exceptAll`` passes —
+        one shuffle of each snapshot on the full row. That is the honest
+        floor without per-file lineage; the fmt="iceberg" path would read
+        the changelog from table metadata instead (manifest-level diff, no
+        data shuffle for unchanged files). Batch CDC consumers downstream
+        (incremental re-extraction, index refresh) only ever see the delta,
+        which is the property that matters at 100 TB.
+        """
+        from pyspark.sql import functions as F
+
+        old = self.read(spark, table, from_snapshot)
+        new = self.read(spark, table, to_snapshot or self.latest_snapshot(table))
+        ins = new.exceptAll(old).withColumn("change_type", F.lit("insert"))
+        dels = old.exceptAll(new).withColumn("change_type", F.lit("delete"))
+        return ins.unionByName(dels)
+
     # -- write ------------------------------------------------------------
     def _next_snapshot_id(self, table: str) -> str:
         existing = [m["snapshot_id"] for m in self.snapshots(table)]

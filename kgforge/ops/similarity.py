@@ -105,10 +105,10 @@ def _minhash_sig_sql() -> str:
     return cols
 
 
-@register(
-    "dedup_minhash",
-    sql=f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+# Shared CTE chain ending in verified near-dup `pairs` — reused verbatim by
+# dedup_minhash (pair surface) and dedup_clusters (CC over the pair graph).
+_MINHASH_PAIRS_CTES = f"""
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
     sig AS (SELECT doc_id, sh, {_minhash_sig_sql()} FROM sh),
     bands AS (
       SELECT doc_id, b, md5(CAST(b AS VARCHAR) || '|' ||
@@ -119,34 +119,28 @@ def _minhash_sig_sql() -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           CAST(length(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / (length(x.sh) + length(y.sh) - length(list_intersect(x.sh, y.sh)))
-             AS jaccard
-    FROM cand c
-    JOIN sh x ON c.doc_a = x.doc_id
-    JOIN sh y ON c.doc_b = y.doc_id
-    WHERE CAST(length(list_intersect(x.sh, y.sh)) AS DOUBLE)
-          / (length(x.sh) + length(y.sh) - length(list_intersect(x.sh, y.sh)))
-          >= {JACCARD_T}
-    """,
-    doc=(
-        "MinHash+LSH near-dup: lexicographic-min md5 signatures (engine-"
-        "portable), 4 bands × 2 rows, band-bucket self-join for candidates, "
-        "exact-Jaccard verification of candidates only."
     ),
-)
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Persist the shingle cut: it feeds the signature/band branch AND both
-    # verify sides (x, y). Catalyst has no cross-branch CSE, so without the
-    # persist the shingle transform over every document runs 3× (this was
-    # the #2 bench query in round 1 at 9s; persisting cuts it to one pass).
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", _shingles(F.col("text")).alias("sh"))
-        .persist()
+    pairs AS (
+      SELECT * FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(length(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / (length(x.sh) + length(y.sh) - length(list_intersect(x.sh, y.sh)))
+                 AS jaccard
+        FROM cand c
+        JOIN sh x ON c.doc_a = x.doc_id
+        JOIN sh y ON c.doc_b = y.doc_id
+      ) WHERE jaccard >= {JACCARD_T}
     )
+"""
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Verified near-dup pairs over ``docs(doc_id, sh)`` (caller persists the
+    shingle cut — it feeds the signature/band branch AND both verify sides).
+
+    Banded candidate generation: the shuffle is on O(docs × bands) small
+    band-key rows, never all-pairs; exact Jaccard runs on candidates only.
+    """
     sig = docs.select("doc_id", "sh", *_minhash_sig_spark(F.col("sh")))
     band_cols = []
     for b in range(MINHASH_BANDS):
@@ -180,6 +174,93 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_minhash",
+    sql="WITH " + _MINHASH_PAIRS_CTES + "\nSELECT doc_a, doc_b, jaccard FROM pairs",
+    doc=(
+        "MinHash+LSH near-dup: lexicographic-min md5 signatures (engine-"
+        "portable), 4 bands × 2 rows, band-bucket self-join for candidates, "
+        "exact-Jaccard verification of candidates only."
+    ),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .persist()
+    )
+    return minhash_pairs(docs)
+
+
+@register(
+    "dedup_clusters",
+    # Full oracle: the pair graph comes from the shared minhash CTEs; the
+    # clustering is recomputed independently by a DuckDB recursive CTE
+    # (min-reachable-node over the symmetrized edges), so the value hash
+    # proves the Spark connected-components path (driver union-find below
+    # DRIVER_CC_MAX_EDGES, distributed large-star/small-star above —
+    # kgforge/canon.py) produces the exact transitive closure.
+    sql="WITH RECURSIVE " + _MINHASH_PAIRS_CTES + """,
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    cnodes AS (SELECT DISTINCT a AS doc FROM e),
+    reach(doc, root) AS (
+      SELECT doc, doc FROM cnodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN e ON r.doc = e.a
+    ),
+    cl AS (SELECT doc, min(root) AS cluster_id FROM reach GROUP BY doc)
+    SELECT doc AS doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM cl
+    """,
+    doc=(
+        "Near-dup CLUSTERS: minhash-verified pairs → connected components → "
+        "one row per clustered doc with its canonical representative (min "
+        "doc_id) and cluster size. Pairs alone under-specify dedup (A~B, "
+        "B~C but not A~C); the transitive closure is what a training-data "
+        "pipeline actually drops duplicates against."
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .persist()
+    )
+    return near_dup_clusters(docs)
+
+
+def near_dup_clusters(docs: DataFrame) -> DataFrame:
+    """``docs(doc_id, sh)`` → (doc_id, cluster_id, cluster_size) for every
+    doc in a near-dup cluster (minhash pairs + transitive closure)."""
+    from kgforge import canon
+
+    # Persist at the reuse boundary: the pair set feeds the driver edge pull
+    # (canonical_map_auto), the entity derivation, AND the size join —
+    # Catalyst has no cross-branch CSE, so without this the banded
+    # candidate+verify joins would re-run once per reference.
+    pairs = minhash_pairs(docs).persist()
+    # canonical_map is string-typed; fixed-width zero padding makes the
+    # min-string canonical id equal the min doc_id.
+    def enc(c: str) -> Column:
+        return F.lpad(F.col(c).cast("string"), 12, "0")
+
+    edges = pairs.select(enc("doc_a").alias("src"), enc("doc_b").alias("dst"))
+    ents = (
+        edges.select(F.col("src").alias("entity_id"))
+        .union(edges.select(F.col("dst").alias("entity_id")))
+        .distinct()
+    )
+    cmap = canon.canonical_map_auto(ents, edges)
+    sizes = cmap.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cmap.join(sizes, "canonical_id").select(
+        F.col("entity_id").cast("bigint").alias("doc_id"),
+        F.col("canonical_id").cast("bigint").alias("cluster_id"),
+        "cluster_size",
     )
 
 

