@@ -44,6 +44,7 @@ HEADLINE = [
     "join_broadcast",     # dictionary-style broadcast join
     "agg_group",          # shuffle hash aggregate
     "win_rank",           # window rank over (conv, turn)
+    "win_sessionize",     # lag-gap batch sessionization over events
     "dedup_minhash",      # MinHash-LSH near-dup over documents
     "dedup_clusters",     # near-dup transitive closure (minhash + CC)
     "graph_pagerank",     # iterative integer PageRank over the entity graph

@@ -215,3 +215,354 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     # iteration, and they only materialize at the caller's action — an
     # unpersist here would silently re-derive the whole pipeline per use.
     return ranks.select(F.col("node").alias("node_id"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the canonical entity graph (round 3): triangle
+# counting with degree orientation, shared-neighbor link prediction, and
+# bounded-hop BFS. All-integer outputs so every oracle is value-exact.
+# ---------------------------------------------------------------------------
+
+# Undirected simple graph derived from the entity→entity triples (the same
+# edge definition as graph_pagerank), plus true degrees. Mirrored verbatim
+# in each oracle below.
+_GRAPH_CTE = """
+    g_edges AS (
+      SELECT DISTINCT subj AS src, obj AS dst
+      FROM final_triples WHERE pred <> 'resolved_as'
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM g_edges WHERE src <> dst
+    ),
+    adj2 AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+    g_deg AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM adj2 GROUP BY u
+    )
+"""
+
+_GRAPH_SQL_PREFIX = (
+    pipeline_ops._PRELUDE + ",\n" + pipeline_ops._MENTIONS_CTE + ",\n"
+    + pipeline_ops._LINKED_CTE + ",\n" + pipeline_ops._TRIPLES_CTE + ",\n"
+    + _GRAPH_CTE
+)
+
+
+def undirected_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (a < b) entity co-occurrence edges, persisted:
+    every analytics op below self-joins this cut, and Catalyst has no
+    cross-branch CSE — without the persist the whole extract→link→triples
+    dataflow would re-run once per join branch."""
+    from pyspark.sql import functions as F
+
+    tri = pipeline_ops.pipe_triples(spark, sf_dir)
+    return (
+        tri.where((F.col("pred") != "resolved_as") & (F.col("subj") != F.col("obj")))
+        .select(
+            F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over undirected edges (a < b).
+
+    Degree-oriented enumeration (the scale-correct plan): each edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, wedges
+    are built only from a node's higher-ranked out-neighbors, and a triangle
+    is a wedge whose far endpoints are themselves an oriented edge. Oriented
+    out-degree is bounded by O(sqrt(|E|)) on any graph, so the wedge join
+    stays near-linear even with power-law hubs — the lexicographic (a < b)
+    orientation has no such bound and dies on hubs at 100×.
+    """
+    from pyspark.sql import functions as F
+
+    deg = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node"))
+    ).groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    j = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    lower = F.struct(F.col("da").alias("d"), F.col("a").alias("n")) < F.struct(
+        F.col("db").alias("d"), F.col("b").alias("n")
+    )
+    ornt = j.select(
+        F.when(lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist()
+    o1, o2, o3 = ornt.alias("o1"), ornt.alias("o2"), ornt.alias("o3")
+    rank1 = F.struct(F.col("o1.dv").alias("d"), F.col("o1.v").alias("n"))
+    rank2 = F.struct(F.col("o2.dv").alias("d"), F.col("o2.v").alias("n"))
+    tri = (
+        o1.join(o2, (F.col("o1.u") == F.col("o2.u")) & (rank1 < rank2))
+        .join(o3, (F.col("o3.u") == F.col("o1.v")) & (F.col("o3.v") == F.col("o2.v")))
+        .select(
+            F.col("o1.u").alias("x"), F.col("o1.v").alias("y"),
+            F.col("o2.v").alias("z"),
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("node_id"))
+        .unionAll(tri.select(F.col("y").alias("node_id")))
+        .unionAll(tri.select(F.col("z").alias("node_id")))
+    )
+    return corners.groupBy("node_id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+@register(
+    "graph_triangles",
+    sql=_GRAPH_SQL_PREFIX + """,
+    ornt AS MATERIALIZED (
+      SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u,
+             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v,
+             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS dv
+      FROM und u
+      JOIN g_deg da ON u.a = da.node
+      JOIN g_deg db ON u.b = db.node
+    ),
+    tri AS (
+      SELECT o1.u AS x, o1.v AS y, o2.v AS z
+      FROM ornt o1
+      JOIN ornt o2 ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+      JOIN ornt o3 ON o3.u = o1.v AND o3.v = o2.v
+    )
+    SELECT node_id, CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT x AS node_id FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY node_id
+    """,
+    doc=(
+        "Per-node triangle counts on the undirected canonical entity graph "
+        "via DEGREE-ORIENTED enumeration: edges point low-(degree, id) → "
+        "high, wedges come only from a node's higher-ranked out-neighbors, "
+        "and the closing edge is probed in the oriented set. Oriented "
+        "out-degree is O(sqrt(|E|))-bounded, so the wedge join survives "
+        "power-law hubs that break the naive a<b<c enumeration at scale. "
+        "All counts BIGINT — the oracle hash is exact."
+    ),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_counts(undirected_entity_edges(spark, sf_dir))
+
+
+JACCARD_HUB_MAX = 1000  # shared-neighbor centers above this degree are skipped
+JACCARD_MIN_COMMON = 2  # emit pairs sharing at least this many neighbors
+JACCARD_TOP_K = 5  # predictions kept per left node (bounds output size)
+
+
+def jaccard_candidates(und: DataFrame) -> DataFrame:
+    """Link-prediction candidates over undirected edges ``und(a, b)`` with
+    a < b: non-adjacent node pairs sharing >= JACCARD_MIN_COMMON neighbors,
+    integer fixed-point Jaccard (|N intersect N| / |N union N| x1000,
+    floor), top JACCARD_TOP_K predictions per left node. Wedge centers of
+    degree > JACCARD_HUB_MAX are excluded — the standard hub cap that keeps
+    the center self-join near-linear (a degree-d hub would otherwise emit
+    d^2 wedges), so 'common' counts shared NON-HUB neighbors; the per-node
+    top-k bounds the OUTPUT the same way the cap bounds the intermediate.
+    The oracle applies the identical cap/threshold/top-k, keeping the hash
+    exact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    small = adj.join(
+        deg.where(F.col("deg") <= JACCARD_HUB_MAX).select("u"), "u"
+    ).persist()
+    a1, a2 = small.alias("a1"), small.alias("a2")
+    common = (
+        a1.join(a2, (F.col("a1.u") == F.col("a2.u")) & (F.col("a1.v") < F.col("a2.v")))
+        .groupBy(F.col("a1.v").alias("node_a"), F.col("a2.v").alias("node_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= JACCARD_MIN_COMMON)
+    )
+    pairs = common.join(
+        deg.select(F.col("u").alias("node_a"), F.col("deg").alias("da")), "node_a"
+    ).join(
+        deg.select(F.col("u").alias("node_b"), F.col("deg").alias("db")), "node_b"
+    )
+    nonadj = pairs.join(
+        und, (pairs.node_a == und.a) & (pairs.node_b == und.b), "left_anti"
+    ).select(
+        "node_a",
+        "node_b",
+        "common",
+        (F.col("da") + F.col("db") - F.col("common")).alias("total"),
+        F.expr("(1000 * common) DIV (da + db - common)").alias("jaccard_x1000"),
+    )
+    w = Window.partitionBy("node_a").orderBy(
+        F.col("jaccard_x1000").desc(), F.col("common").desc(), F.col("node_b")
+    )
+    return (
+        nonadj.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= JACCARD_TOP_K)
+    )
+
+
+# The co-ordered parts graph: parts appearing in the same order are linked —
+# a sparse, hub-skewed co-occurrence graph (the canonical ENTITY graph is a
+# complete K_n on this synthetic corpus: every entity co-occurs with every
+# other, so link prediction over it is vacuous; the basket graph has real
+# missing edges to predict).
+_BASKET_CTE = """
+    und AS MATERIALIZED (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    adj2 AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+    g_deg AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM adj2 GROUP BY u
+    )
+"""
+
+
+def coorder_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (a < b) co-ordered part pairs from lineitem,
+    persisted (the jaccard stages branch over it several times)."""
+    from kgforge.tables import load
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+        .persist()
+    )
+
+
+@register(
+    "graph_jaccard",
+    sql="WITH " + _BASKET_CTE + f""",
+    small AS MATERIALIZED (
+      SELECT a.u, a.v FROM adj2 a JOIN g_deg d ON a.u = d.node
+      WHERE d.deg <= {JACCARD_HUB_MAX}
+    ),
+    common AS (
+      SELECT a1.v AS node_a, a2.v AS node_b, CAST(count(*) AS BIGINT) AS common
+      FROM small a1 JOIN small a2 ON a1.u = a2.u AND a1.v < a2.v
+      GROUP BY a1.v, a2.v
+      HAVING count(*) >= {JACCARD_MIN_COMMON}
+    ),
+    scored AS (
+      SELECT c.node_a, c.node_b, c.common,
+             da.deg + db.deg - c.common AS total,
+             CAST((1000 * c.common) // (da.deg + db.deg - c.common) AS BIGINT)
+               AS jaccard_x1000
+      FROM common c
+      JOIN g_deg da ON c.node_a = da.node
+      JOIN g_deg db ON c.node_b = db.node
+      LEFT JOIN und e ON e.a = c.node_a AND e.b = c.node_b
+      WHERE e.a IS NULL
+    )
+    SELECT * FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY node_a
+               ORDER BY jaccard_x1000 DESC, common DESC, node_b) AS INT) AS rk
+      FROM scored)
+    WHERE rk <= {JACCARD_TOP_K}
+    """,
+    doc=(
+        "Shared-neighbor link prediction on the co-ordered parts graph "
+        "(parts sharing an order are linked; the synthetic entity graph is "
+        "complete, so prediction over it is vacuous): non-adjacent pairs "
+        f"with >= {JACCARD_MIN_COMMON} common neighbors, Jaccard as integer "
+        f"fixed-point x1000, top {JACCARD_TOP_K} predictions per node. "
+        f"Wedge centers above degree {JACCARD_HUB_MAX} are excluded — the "
+        "hub cap that bounds the center self-join (a degree-d hub emits "
+        "d^2 wedges) — and the per-node top-k bounds the output; the anti-"
+        "join against the edge set keeps only PREDICTED links."
+    ),
+)
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_candidates(coorder_part_edges(spark, sf_dir))
+
+
+BFS_ITERS = 4
+BFS_SEEDS = 3
+
+
+def _bfs_iter_sql(prev: str, nxt: str) -> str:
+    """One unrolled BFS frontier-relaxation as a DuckDB CTE."""
+    return f"""
+    {nxt} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT a.v AS node, d.dist + 1 AS dist
+        FROM adj2 a JOIN {prev} d ON a.u = d.node)
+      GROUP BY node
+    )"""
+
+
+def bfs_distances(adj: DataFrame, seeds: DataFrame, iters: int = BFS_ITERS) -> DataFrame:
+    """Multi-source BFS over ``adj(u, v)`` from ``seeds(node)`` →
+    (node_id, dist), bounded to ``iters`` hops. Each iteration is one
+    join + min-aggregate over the (persisted) adjacency — O(iters) shuffles,
+    the same iterative-dataflow shape as PageRank; min over BIGINT is exact
+    and order-independent in both engines."""
+    from pyspark.sql import functions as F
+
+    adj = adj.persist()
+    dist = seeds.select("node", F.lit(0).cast("bigint").alias("dist"))
+    for _ in range(iters):
+        prop = adj.join(dist, adj.u == dist.node).select(
+            F.col("v").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        dist = (
+            dist.unionAll(prop).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+        # The frontier feeds the NEXT iteration twice (relaxation join +
+        # union), so without cutting lineage here the plan re-derives every
+        # prior iteration 2× per round — exponential replay (measured 88s →
+        # ~8s at sf0.001). localCheckpoint materializes the small frontier
+        # and truncates the lineage, same as the CC fixpoint (canon.py).
+        dist = dist.localCheckpoint()
+    return dist.select(F.col("node").alias("node_id"), "dist")
+
+
+@register(
+    "graph_bfs",
+    sql=_GRAPH_SQL_PREFIX + f""",
+    bfs_seeds AS (
+      SELECT node FROM (SELECT DISTINCT u AS node FROM adj2)
+      ORDER BY node LIMIT {BFS_SEEDS}
+    ),
+    bd0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM bfs_seeds),
+    {",".join(_bfs_iter_sql(f"bd{i}", f"bd{i + 1}") for i in range(BFS_ITERS))}
+    SELECT node AS node_id, dist FROM bd{BFS_ITERS}
+    """,
+    doc=(
+        f"Multi-source BFS ({BFS_ITERS} hops from the {BFS_SEEDS} "
+        "lexicographically-first entities) over the undirected canonical "
+        "entity graph: per hop one join + min-aggregate against the "
+        "persisted adjacency — O(hops) shuffles of the frontier, nothing "
+        "super-linear. Distances are BIGINT so min() is exact in both "
+        "engines; unreached nodes are absent (frontier semantics)."
+    ),
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    und = undirected_entity_edges(spark, sf_dir)
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    seeds = adj.select(F.col("u").alias("node")).distinct().orderBy("node").limit(
+        BFS_SEEDS
+    )
+    return bfs_distances(adj, seeds)

@@ -890,3 +890,83 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (round 3) — the lag-gap formulation of sessions, the
+# classic SQL sibling of the streaming pane's session_window key.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, microseconds
+
+
+@register(
+    "win_sessionize",
+    sql=f"""
+    SELECT user_id, session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(micros) AS start_us, max(micros) AS end_us
+    FROM (
+      SELECT user_id, event_id, micros,
+             CAST(sum(is_new) OVER (
+                  PARTITION BY user_id ORDER BY micros, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_idx
+      FROM (
+        SELECT user_id, event_id, micros,
+               CASE WHEN lag(micros) OVER (
+                      PARTITION BY user_id ORDER BY micros, event_id) IS NULL
+                    THEN 1
+                    WHEN micros - lag(micros) OVER (
+                      PARTITION BY user_id ORDER BY micros, event_id)
+                      > {SESSION_GAP_US} THEN 1
+                    ELSE 0 END AS is_new
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS micros FROM events)))
+    GROUP BY user_id, session_idx
+    """,
+    doc=(
+        "Batch sessionization via the lag-gap formulation: a session breaks "
+        f"where the per-user inactivity gap exceeds {SESSION_GAP_US // 60_000_000} "
+        "minutes; session_idx is the running sum of break flags. Scale shape: "
+        "two window passes + one hash aggregate, all partitioned by user_id — "
+        "one shuffle total (the windows and the aggregate share the "
+        "partitioning). All-integer output (epoch micros), so the oracle "
+        "value-hash is exact. Tiebreak on event_id keeps the lag ordering "
+        "total and engine-identical."
+    ),
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("micros"),
+    )
+    return sessionize(e)
+
+
+def sessionize(e: DataFrame) -> DataFrame:
+    """Lag-gap sessionization of ``e(user_id, event_id, micros)`` →
+    (user_id, session_idx, n_events, start_us, end_us)."""
+    w = Window.partitionBy("user_id").orderBy("micros", "event_id")
+    prev = F.lag("micros").over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "micros",
+        F.when(prev.isNull(), 1)
+        .when(F.col("micros") - prev > SESSION_GAP_US, 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessioned = flagged.select(
+        "user_id",
+        "micros",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_idx"),
+    )
+    return sessioned.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("micros").alias("start_us"),
+        F.max("micros").alias("end_us"),
+    )

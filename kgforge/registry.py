@@ -66,6 +66,10 @@ _ORDER: list[str] = [
     "pipe_incremental",
     "graph_pagerank",
     "dedup_clusters",
+    "graph_triangles",
+    "graph_jaccard",
+    "graph_bfs",
+    "win_sessionize",
     # -- (c) last driver-checked in round 1, re-certify on current code
     "join_smj",
     "join_shj",
@@ -88,19 +92,19 @@ _ORDER: list[str] = [
     "win_range",
     "win_analytic",
     "topk_global",
-    # -- (d) family representatives from round-2's window
+    # -- (d) family representatives from round-2's window (four of the
+    # original 18 — filter_pred, agg_group, sort_global, set_union — were
+    # rotated past the boundary to make room for the four NEW round-3 keys;
+    # each displaced family keeps another in-window representative and each
+    # displaced key holds a green r02 row on code unchanged this round)
     "scan_project",
-    "filter_pred",
     "explode_tokens",
     "join_broadcast",
     "join_salted",
     "join_bucketed",
-    "agg_group",
     "agg_pudf",
     "win_rank",
     "topk_group",
-    "sort_global",
-    "set_union",
     "dedup",
     "graph_cc",
     "graph_nodes",
@@ -111,6 +115,10 @@ _ORDER: list[str] = [
     # all round-2 green on code unchanged this round (dedup_minhash's pair
     # computation was factored into minhash_pairs for dedup_clusters —
     # behavior-identical, and dedup_clusters value-checks it in-window)
+    "filter_pred",
+    "agg_group",
+    "sort_global",
+    "set_union",
     "dedup_minhash",
     "text_quality",
     "stream_session_batch",
