@@ -22,6 +22,17 @@ NOTES = {
     "agg_group": "TPC-H Q1 shape: HashAggregate partial → Exchange → HashAggregate final.",
     "dedup_minhash": "LSH banding: per-row signatures at scan speed; only the band-key self-join shuffles.",
     "scan_project": "PushedFilters + narrow ReadSchema on the scan node.",
+    "win_sessionize": (
+        "Lag-gap sessionization: ONE Exchange on user_id feeds both Window "
+        "nodes AND the final HashAggregate (they share the partitioning — "
+        "no second shuffle; the sorts between them are partition-local)."
+    ),
+    "graph_triangles": (
+        "Degree-oriented triangle enumeration: the wedge self-join and the "
+        "closing-edge probe join the PERSISTED oriented edge cut "
+        "(InMemoryTableScan on both sides — the upstream pipeline runs "
+        "once); oriented out-degree bounds wedge fan-out at O(sqrt(|E|))."
+    ),
 }
 
 def main():
