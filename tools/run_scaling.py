@@ -153,6 +153,15 @@ property.
 
 {blocks}
 
+Reading pairs across working sets: efficiency RISES with corpus size (the
+per-stage audit shows why — fixed per-level costs that do not shrink with
+cores, i.e. job/stage setup, cache materializations, snapshot/manifest
+writes and the CC fixpoint's driver steps, are a larger fraction of a
+small corpus's wall clock; the data-proportional stages scale at
+0.85–1.0 pair efficiency at every size). The gate therefore reads on the
+LARGER working set — the direction that matters for the target regime,
+where per-job fixed costs amortize to nothing.
+
 Scaling engineering applied along the way: salted repartition without a
 counting pass, column pruning before shuffles, min(struct) aggregates
 instead of skewed row_number windows, partial (map-side) aggregation
