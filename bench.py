@@ -52,7 +52,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",  # blocked n-gram Jaccard
     "sim_topk_cosine",    # brute-force cosine top-k over embeddings
     "sim_lsh_cosine",     # hyperplane-LSH bucketing (ANN scale path)
+    "sim_lsh_multiprobe",  # multi-probe LSH (recall at fixed plane count)
     "text_quality",       # text quality scoring
+    "text_lm_score",      # conditional trigram LM quality score
     "text_langid",        # marker-overlap language ID
     "mm_features",        # Arrow-batched binary decode plumbing
     "udf_extract_conv",   # grouped-map conversation fingerprint

@@ -830,6 +830,127 @@ def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- multi-probe LSH
+@register(
+    "sim_lsh_multiprobe",
+    sql=f"""
+    WITH {_Q_LABEL_SQL},
+    {_PROJ_SQL},
+    bands AS (
+      SELECT vec_id, b,
+             (bucket // (CASE b {_BAND_DIV_SQL} END)) % {1 << LSH_BAND_BITS} AS nib
+      FROM proj, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b)
+    ),
+    qprobe AS (
+      SELECT vec_id, b, nib FROM bands WHERE vec_id < {N_QUERIES}
+      UNION ALL
+      SELECT vec_id, b, xor(nib, (1 << j.j)) AS nib
+      FROM bands, (SELECT unnest(generate_series(0, {LSH_BAND_BITS - 1})) AS j) j
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS vec_id, c.vec_id AS nn_id
+      FROM qprobe p JOIN bands c
+        ON p.b = c.b AND p.nib = c.nib AND p.vec_id <> c.vec_id
+    )
+    SELECT vec_id, nn_id, cos, CAST(rn AS INT) AS rank FROM (
+      SELECT c.vec_id, c.nn_id,
+             {_COS_SQL.format(a='x.qv', b='y.qv')} AS cos,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {_COS_SQL.format(a='x.qv', b='y.qv')} DESC, c.nn_id
+             ) AS rn
+      FROM cand c
+      JOIN q x ON c.vec_id = x.vec_id
+      JOIN q y ON c.nn_id = y.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc=(
+        "Multi-probe LSH ANN (recall at FIXED plane count): each query probes "
+        "its own band buckets PLUS every single-bit-flip neighbor bucket "
+        f"({LSH_BANDS} bands x (1 + {LSH_BAND_BITS}) probes — the buckets a "
+        "true neighbor most likely fell into when one plane's sign "
+        "disagreed), then exact fixed-point cosine verify + per-query "
+        f"top-{TOP_K}. The probe explosion happens ONLY on the bounded "
+        f"{N_QUERIES}-row query side, which is broadcast; the corpus "
+        "contributes its plain band keys and STREAMS through one "
+        "broadcast-hash equi-join — zero shuffle of the big side, and the "
+        "candidate set is a strict superset of sim_lsh_cosine's for these "
+        "queries (recall can only go up; asserted in tests)."
+    ),
+)
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    # ONE persisted cut (vec_id, qv, bucket) feeding the corpus band keys and
+    # both verify sides (no cross-branch CSE in Catalyst).
+    q = (
+        emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+        .select("vec_id", "qv", _bucket_udf()("qv").alias("bucket"))
+        .persist()
+    )
+
+    def _nib(b: int):
+        return (
+            (F.col("bucket") / ((1 << LSH_BAND_BITS) ** b)).cast("long")
+            % (1 << LSH_BAND_BITS)
+        )
+
+    base_structs = [
+        F.struct(F.lit(b).alias("b"), _nib(b).alias("nib"))
+        for b in range(LSH_BANDS)
+    ]
+    # Probe keys: the query's own nib plus its LSH_BAND_BITS single-bit
+    # flips, per band — 4 x 9 = 36 structs built driver-side once (bounded
+    # py4j construction, not per-row work).
+    probe_structs = [
+        s
+        for b in range(LSH_BANDS)
+        for s in (
+            [F.struct(F.lit(b).alias("b"), _nib(b).alias("nib"))]
+            + [
+                F.struct(
+                    F.lit(b).alias("b"),
+                    _nib(b).bitwiseXOR(F.lit(1 << j)).alias("nib"),
+                )
+                for j in range(LSH_BAND_BITS)
+            ]
+        )
+    ]
+    base = q.select(
+        "vec_id", F.explode(F.array(*base_structs)).alias("bn")
+    ).select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("bn.b").alias("b"),
+        F.col("bn.nib").alias("nib"),
+    )
+    probes = (
+        q.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.explode(F.array(*probe_structs)).alias("bn"))
+        .select("vec_id", F.col("bn.b").alias("b"), F.col("bn.nib").alias("nib"))
+    )
+    # Broadcast the bounded probe side; the corpus band keys stream through
+    # a broadcast-hash equi-join (same discipline as sim_topk_cosine).
+    cand = (
+        F.broadcast(probes)
+        .join(base, ["b", "nib"])
+        .where(F.col("vec_id") != F.col("nn_id"))
+        .select("vec_id", "nn_id")
+        .distinct()
+    )
+    x = q.select(F.col("vec_id").alias("vec_id"), F.col("qv").alias("qv_x"))
+    y = q.select(F.col("vec_id").alias("nn_id"), F.col("qv").alias("qv_y"))
+    cos = _cos(F.col("qv_x"), F.col("qv_y"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("nn_id"))
+    return (
+        cand.join(x, "vec_id")
+        .join(y, "nn_id")
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("vec_id", "nn_id", "cos", "rank")
+    )
+
+
 # ---------------------------------------------------------------- IVF ANN
 IVF_K = 16
 IVF_ITERS = 3

@@ -241,3 +241,90 @@ def text_trigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("familiarity"),
         )
     )
+
+
+LM_SCALE = 1_000_000  # fixed-point scale for conditional trigram probabilities
+LM_SMOOTH_K = 20  # add-K denominator smoothing (see doc: the sparse-LM trap)
+
+
+@register(
+    "text_lm_score",
+    # Conditional trigram LM in exact integer fixed-point: per trigram
+    # occurrence the contribution is floor(LM_SCALE * count(tg) /
+    # (count(prefix2-as-trigram-start) + LM_SMOOTH_K)) — all-BIGINT
+    # arithmetic, order-independent in both engines (the float log-prob
+    # formulation would diverge on summation order). DuckDB sums BIGINT into
+    # HUGEINT, hence the CASTs back.
+    sql=f"""
+    WITH tri AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(length(text) - 2, 1)),
+               i -> substr(text, i, 3))) AS tg
+      FROM documents
+    ),
+    m3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS c3 FROM tri GROUP BY tg),
+    m2 AS (SELECT substr(tg, 1, 2) AS pf, CAST(sum(c3) AS BIGINT) AS c2
+           FROM m3 GROUP BY pf)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tri,
+           CAST(sum(({LM_SCALE} * m3.c3) // (m2.c2 + {LM_SMOOTH_K})) AS BIGINT) AS lm_score,
+           CAST(CAST(sum(({LM_SCALE} * m3.c3) // (m2.c2 + {LM_SMOOTH_K})) AS BIGINT)
+                // count(*) AS BIGINT) AS lm_mean
+    FROM tri t
+    JOIN m3 USING (tg)
+    JOIN m2 ON substr(t.tg, 1, 2) = m2.pf
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Corpus-trained conditional trigram LM score (the perplexity-style "
+        "quality filter): per doc, the sum over its character-trigram "
+        "occurrences of fixed-point P(c3 | c1c2) x 1M, where the model is "
+        "trained on the corpus itself: count(trigram) / (count(2-char "
+        f"prefix) + {LM_SMOOTH_K}). The add-K smoothing is load-bearing — "
+        "unsmoothed, a trigram UNIQUE in the corpus has a unique prefix "
+        "too, so P = 1/1 and gibberish scores PERFECT; smoothing damps "
+        "low-support contexts so gibberish scores low (property-tested). "
+        "Dataflow: two model aggregations over a bounded key space "
+        "(|charset|^3, map-side combinable), joined back BROADCAST (the "
+        "model tables are alphabet-bounded, never corpus-sized), then one "
+        "per-doc aggregation whose groups are co-located by the explode — "
+        "scan-speed at 100 TB, no corpus-sized shuffle. All-integer "
+        "arithmetic keeps the oracle value-exact."
+    ),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tg"),
+    )
+    # Model tables are bounded by the trigram/bigram key space (|charset|^3),
+    # NOT the corpus size — broadcast both so the trigram stream never
+    # shuffles. tri is recomputed for the join branch (scan + explode is
+    # cheaper than caching the exploded blow-up at scale; the model build
+    # traffic is bounded by distinct-trigrams-per-partition map-side combine).
+    m3 = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("c3"))
+    m2 = m3.groupBy(F.substring("tg", 1, 2).alias("pf")).agg(
+        F.sum("c3").alias("c2")
+    )
+    return (
+        tri.join(F.broadcast(m3), "tg")
+        .withColumn("pf", F.substring("tg", 1, 2))
+        .join(F.broadcast(m2), "pf")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(F.expr(f"({LM_SCALE} * c3) DIV (c2 + {LM_SMOOTH_K})")).alias("lm_score"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            "lm_score",
+            F.expr("lm_score DIV n_tri").alias("lm_mean"),
+        )
+    )

@@ -43,6 +43,7 @@ def test_driver_window_covers_round3_targets():
         # NEW in round 3 — no prior driver row exists
         "scan_cdc", "pipe_incremental", "graph_pagerank", "dedup_clusters",
         "graph_triangles", "graph_jaccard", "graph_bfs", "win_sessionize",
+        "sim_lsh_multiprobe", "text_lm_score",
         # last driver-checked in round 1 (re-certify on current code)
         "join_smj", "join_shj", "join_left", "join_semi", "join_anti",
         "join_range", "join_cross", "agg_distinct", "agg_collect",

@@ -1,0 +1,134 @@
+"""Late-round-3 operators (the round-4 roadmap items delivered early):
+multi-probe LSH (`sim_lsh_multiprobe`) and the conditional trigram LM score
+(`text_lm_score`). Each test pins a property the driver's value-hash compare
+cannot see on its own (probe-superset recall, hand-computed LM arithmetic,
+broadcast plan shape).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.ops import similarity, text
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("planted_r4")
+    rng = random.Random(5)
+    words = [f"w{i:03d}" for i in range(400)]
+    docs = []
+    for i in range(60):
+        toks = [words[rng.randrange(400)] for _ in range(30)]
+        docs.append((i, " ".join(toks), "en", f"src{i % 3}", len(" ".join(toks))))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(root / "documents.parquet"))
+
+    embs = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        embs.append((i, v, i % 4))
+    embs.append((9000, [x * 1.5 for x in embs[0][1]], 0))  # cosine ≈ 1 with vec 0
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
+    return str(root)
+
+
+def test_multiprobe_finds_planted_copy(spark, planted):
+    out = similarity.sim_lsh_multiprobe(spark, planted)
+    top1 = {
+        r["vec_id"]: r["nn_id"] for r in out.where(F.col("rank") == 1).collect()
+    }
+    # cos(v0, 1.5*v0) = 1 ⇒ every plane sign agrees ⇒ all bands (and hence
+    # the zero-flip probe) collide — the copy MUST be query 0's rank-1.
+    assert top1.get(0) == 9000
+
+
+def test_multiprobe_rank1_never_below_plain_lsh(spark, planted):
+    """Multi-probe candidates are a strict superset of the plain banded
+    candidates for the query set, so the verified rank-1 cosine can only be
+    >= plain LSH's for every query both return."""
+    mp = {
+        r["vec_id"]: r["cos"]
+        for r in similarity.sim_lsh_multiprobe(spark, planted)
+        .where(F.col("rank") == 1)
+        .collect()
+    }
+    plain = {
+        r["vec_id"]: r["cos"]
+        for r in similarity.sim_lsh_cosine(spark, planted)
+        .where((F.col("rank") == 1) & (F.col("vec_id") < similarity.N_QUERIES))
+        .collect()
+    }
+    assert plain, "plain LSH returned no in-query-set rank-1 rows"
+    for q, c in plain.items():
+        assert q in mp, f"query {q} lost by multiprobe"
+        assert mp[q] >= c - 1e-12, f"query {q}: multiprobe rank-1 below plain LSH"
+
+
+def test_multiprobe_candidate_join_is_broadcast(spark, planted):
+    """The probe side (bounded query set) must be broadcast; the corpus band
+    keys must stream through a broadcast-hash equi-join — never a sort-merge
+    (shuffle of the big side) and never a corpus-side broadcast."""
+    plan = similarity.sim_lsh_multiprobe(spark, planted)._sc._jvm.PythonSQLUtils.explainString(
+        similarity.sim_lsh_multiprobe(spark, planted)._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_score_matches_hand_computation(spark, tmp_path):
+    """Independent reimplementation of the conditional trigram LM in plain
+    Python, compared value-for-value (the same role tests/oracle_ref.py plays
+    for the pipeline P/R gate)."""
+    docs = [(1, "abcab"), (2, "abab"), (3, "zzzz")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    # hand model: trigram occurrences over all docs
+    tris: dict[int, list[str]] = {}
+    c3: dict[str, int] = {}
+    for doc_id, t in docs:
+        ts = [t[i : i + 3] for i in range(max(len(t) - 2, 1))]
+        tris[doc_id] = ts
+        for tg in ts:
+            c3[tg] = c3.get(tg, 0) + 1
+    c2: dict[str, int] = {}
+    for tg, n in c3.items():
+        c2[tg[:2]] = c2.get(tg[:2], 0) + n
+    expect = {}
+    for doc_id, ts in tris.items():
+        score = sum(
+            (text.LM_SCALE * c3[tg]) // (c2[tg[:2]] + text.LM_SMOOTH_K)
+            for tg in ts
+        )
+        expect[doc_id] = (len(ts), score, score // len(ts))
+
+    got = {
+        r["doc_id"]: (r["n_tri"], r["lm_score"], r["lm_mean"])
+        for r in text.text_lm_score(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+def test_lm_score_gibberish_scores_below_repetitive(spark, tmp_path):
+    """A doc of corpus-typical repeated trigrams must out-score a doc of
+    unique gibberish trigrams — the property that makes this a quality
+    filter."""
+    docs = [(1, "the cat sat on the mat the cat sat"),
+            (2, "the cat sat on the mat the dog sat"),
+            (3, "qxv jzk wpf bqm lrt")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r["lm_mean"]
+        for r in text.text_lm_score(spark, str(tmp_path)).collect()
+    }
+    assert rows[1] > rows[3]
+    assert rows[2] > rows[3]

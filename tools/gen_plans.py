@@ -33,6 +33,18 @@ NOTES = {
         "(InMemoryTableScan on both sides — the upstream pipeline runs "
         "once); oriented out-degree bounds wedge fan-out at O(sqrt(|E|))."
     ),
+    "sim_lsh_multiprobe": (
+        "Multi-probe LSH: the probe explosion (x9 band keys) lives on the "
+        "bounded query side UNDER the BroadcastExchange; the corpus band "
+        "keys stream through the BroadcastHashJoin — no shuffle of the big "
+        "side anywhere in the candidate stage."
+    ),
+    "text_lm_score": (
+        "Conditional trigram LM: both model joins are BroadcastHashJoin "
+        "(alphabet-bounded model tables); the only Exchanges are the two "
+        "bounded-key model aggregations and the final per-doc aggregate — "
+        "the corpus-sized trigram stream itself never shuffles."
+    ),
 }
 
 def main():
