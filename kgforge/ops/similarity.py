@@ -957,15 +957,33 @@ IVF_ITERS = 3
 IVF_NPROBE = 4
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between two array<long> columns (BIGINT).
+
+    Max term at QUANT=1000 and unit-scale embeddings: (8000)^2 * dims —
+    far inside int64, so the sum is exact and its ordering matches the
+    DuckDB mirror's double dot-product expansion (both exact integers)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def ivf_train(q: DataFrame) -> DataFrame:
     """Train IVF coarse centroids with Lloyd iterations as a DataFrame loop.
 
-    q: (vec_id, qv: array<long>). Returns (cid, cv: array<double>).
+    q: (vec_id, qv: array<long>). Returns (cid, cv: array<long>).
     Init is deterministic (k vectors with smallest md5(vec_id)); each
-    iteration is assign (broadcast centroids × vectors, argmin L2) + update
-    (posexplode to (cid, dim) partial-avg — map-side combinable). At scale
-    the centroid table stays tiny (k × d) while assignment streams the big
-    side with zero shuffle; only the update aggregates."""
+    iteration is assign (broadcast centroids × vectors, argmin exact-int
+    L2, ties to min cid) + update (posexplode to (cid, dim) BIGINT sums —
+    map-side combinable; centroid dim = floor(sum/count), computed on the
+    driver from the k×d collected sums). EVERY step is order-independent
+    integer arithmetic, which is what makes the whole IVF pipeline
+    value-hash mirrorable in DuckDB (the oracle unrolls these iterations
+    as chained CTEs — float partial-avg would diverge on summation order).
+    At scale the centroid table stays tiny (k × d) while assignment
+    streams the big side with zero shuffle; only the update aggregates."""
     spark = q.sparkSession
     init = (
         q.withColumn("h", F.md5(F.col("vec_id").cast("string")))
@@ -974,51 +992,118 @@ def ivf_train(q: DataFrame) -> DataFrame:
         .select("qv")
         .collect()
     )
-    cents = [[float(x) for x in r[0]] for r in init]
+    cents = [[int(x) for x in r[0]] for r in init]
     for _ in range(IVF_ITERS):
         cent_df = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
-        )
-        qa = q.withColumn("qd", F.transform("qv", lambda x: x.cast("double")))
-        d2 = F.aggregate(
-            F.zip_with("qd", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            [(i, c) for i, c in enumerate(cents)], "cid int, cv array<long>"
         )
         assign = (
-            qa.crossJoin(F.broadcast(cent_df))
-            .withColumn("d2", d2)
-            .groupBy("vec_id", "qd")
+            q.crossJoin(F.broadcast(cent_df))
+            .withColumn("d2", _l2sq(F.col("qv"), F.col("cv")))
+            .groupBy("vec_id", "qv")
             .agg(F.min(F.struct("d2", "cid")).alias("best"))
-            .select("vec_id", "qd", F.col("best.cid").alias("cid"))
+            .select("vec_id", "qv", F.col("best.cid").alias("cid"))
         )
         upd = (
-            assign.select("cid", F.posexplode("qd").alias("dim", "x"))
+            assign.select("cid", F.posexplode("qv").alias("dim", "x"))
             .groupBy("cid", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k × d rows
         )
-        new = {}
+        new: dict[int, dict[int, int]] = {}
         for r in upd:
-            new.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+            # Python // is floor division — mirrored in SQL as
+            # (sx - ((sx % n + n) % n)) // n (DuckDB // truncates).
+            new.setdefault(r["cid"], {})[r["dim"]] = r["sx"] // r["n"]
         cents = [
             [new[cid][d] for d in range(len(cents[0]))] if cid in new else cents[cid]
             for cid in range(IVF_K)
         ]
     return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<long>"
     )
+
+
+def _ivf_sql() -> str:
+    """DuckDB mirror of ivf_train + sim_ivf_cosine with the Lloyd loop
+    UNROLLED into chained CTEs (c0 → a_i/u_i → c_{i+1} → ... → c_ITERS).
+
+    Exactness contract: vectors and centroids are BIGINT lists; squared-L2
+    is expanded to dot products (x·x - 2x·y + y·y — DuckDB's
+    list_dot_product returns DOUBLE, but every value is an exact integer
+    well under 2^53, so ordering matches Spark's BIGINT zip_with sum);
+    the centroid update uses explicit floor division because DuckDB's
+    // truncates while Python's // floors; empty clusters keep the
+    previous centroid via the LEFT JOIN + coalesce."""
+    d2 = (
+        "(list_dot_product({q},{q}) - 2*list_dot_product({q},{c})"
+        " + list_dot_product({c},{c}))"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {_QUANT_SQL.format(c='embedding')} AS qv FROM embeddings)",
+        (
+            "c0 AS (SELECT cid, cv FROM (SELECT CAST(row_number() OVER "
+            "(ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cid, "
+            f"qv AS cv FROM q) WHERE cid < {IVF_K})"
+        ),
+    ]
+    dd = d2.format(q="q.qv", c="c.cv")
+    for i in range(IVF_ITERS):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, qv, cid FROM (SELECT q.vec_id, q.qv, c.cid, "
+            f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {dd}, c.cid) AS rn "
+            f"FROM q, c{i} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT cid, generate_subscripts(qv,1) AS d, unnest(qv) AS x "
+            f"FROM a{i})"
+        )
+        parts.append(
+            f"u{i} AS (SELECT cid, list(CAST((sx - ((sx % n + n) % n)) // n AS BIGINT) "
+            f"ORDER BY d) AS cv FROM (SELECT cid, d, SUM(x) AS sx, COUNT(*) AS n "
+            f"FROM s{i} GROUP BY cid, d) GROUP BY cid)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT p.cid, coalesce(u.cv, p.cv) AS cv "
+            f"FROM c{i} p LEFT JOIN u{i} u USING (cid))"
+        )
+    last = f"c{IVF_ITERS}"
+    parts.append(
+        f"asg AS (SELECT vec_id, qv, cid FROM (SELECT q.vec_id, q.qv, c.cid, "
+        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {dd}, c.cid) AS rn "
+        f"FROM q, {last} c) WHERE rn = 1)"
+    )
+    parts.append(
+        f"probes AS (SELECT vec_id AS q_id, qv AS q_qv, cid FROM ("
+        f"SELECT q.vec_id, q.qv, c.cid, row_number() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {dd}, c.cid) AS rn "
+        f"FROM (SELECT * FROM q WHERE vec_id < {N_QUERIES}) q, {last} c) "
+        f"WHERE rn <= {IVF_NPROBE})"
+    )
+    cos = _COS_SQL.format(a="p.q_qv", b="i.qv")
+    return f"""
+    WITH {", ".join(parts)}
+    SELECT vec_id, nn_id, cos, CAST(rn AS INT) AS rank FROM (
+      SELECT p.q_id AS vec_id, i.vec_id AS nn_id, {cos} AS cos,
+             row_number() OVER (PARTITION BY p.q_id ORDER BY {cos} DESC, i.vec_id) AS rn
+      FROM probes p JOIN asg i USING (cid) WHERE p.q_id <> i.vec_id
+    ) WHERE rn <= {TOP_K}
+    """
 
 
 @register(
     "sim_ivf_cosine",
-    sql=None,  # iterative k-means isn't SQL-expressible; gated by pytest recall
+    sql=_ivf_sql(),
     doc=(
         "IVF approximate nearest neighbor: Lloyd-trained coarse centroids "
-        "(deterministic md5 init, broadcast assignment, partial-avg update), "
-        "queries probe the nprobe nearest cells and exact-cosine-verify only "
-        "those candidates. The scale path: assignment is shuffle-free over "
-        "the big side; recall vs brute force gated in tests/test_dedup_sim.py."
+        f"({IVF_K} cells, {IVF_ITERS} iterations, deterministic md5 init, "
+        "broadcast assignment, exact-integer floor-div centroid update), "
+        f"queries probe the {IVF_NPROBE} nearest cells and exact-cosine-"
+        "verify only those candidates. Training is order-independent "
+        "BIGINT arithmetic end to end, so the full value-hash oracle "
+        "unrolls the Lloyd loop in DuckDB SQL; recall vs brute force is "
+        "additionally gated in tests/test_dedup_sim.py. The scale path: "
+        "assignment is shuffle-free over the big side (k×d broadcast)."
     ),
 )
 def sim_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,14 +1111,9 @@ def sim_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
     cents = ivf_train(q).persist()
 
-    qa = q.withColumn("qd", F.transform("qv", lambda x: x.cast("double")))
-    d2 = F.aggregate(
-        F.zip_with("qd", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    d2 = _l2sq(F.col("qv"), F.col("cv"))
     assign = (
-        qa.crossJoin(F.broadcast(cents))
+        q.crossJoin(F.broadcast(cents))
         .withColumn("d2", d2)
         .groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cid")).alias("best"))
@@ -1041,7 +1121,7 @@ def sim_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inverted = q.join(assign, "vec_id")  # cell lists
 
-    queries = qa.where(F.col("vec_id") < N_QUERIES)
+    queries = q.where(F.col("vec_id") < N_QUERIES)
     probes = (
         queries.crossJoin(F.broadcast(cents))
         .withColumn("d2", d2)
@@ -1056,7 +1136,6 @@ def sim_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = probes.join(inverted, "cid").where(F.col("q_id") != F.col("vec_id"))
     cos = _cos(F.col("q_qv"), F.col("qv"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("nn_id"))
     return (
         cand.select(
             F.col("q_id").alias("vec_id_q"), F.col("vec_id").alias("nn_id"), cos.alias("cos")

@@ -56,10 +56,15 @@ _ORDER: list[str] = [
     "scan_snapshot",
     "sink_merge",
     "agg_approx",
-    # -- (b) implementation changed in round 3
+    # -- (b) implementation changed in round 3 (sim_ivf_cosine was upgraded
+    # from rows-only to a full unrolled-Lloyd DuckDB oracle late in the
+    # round — windowed so the driver hash-checks the upgrade, displacing
+    # join_broadcast, whose family keeps nine other in-window reps and
+    # whose green r02 row is on code unchanged this round)
     "sim_topk_cosine",
     "dedup_embed_cosine",
     "sim_lsh_cosine",
+    "sim_ivf_cosine",
     "pipe_triples",
     # -- (b2) NEW in round 3 — no prior driver row exists, must be windowed
     "scan_cdc",
@@ -101,7 +106,6 @@ _ORDER: list[str] = [
     # displaced key holds a green r02 row on code unchanged this round)
     "scan_project",
     "explode_tokens",
-    "join_broadcast",
     "join_salted",
     "join_bucketed",
     "agg_pudf",
@@ -118,6 +122,7 @@ _ORDER: list[str] = [
     # dedup / dedup_exact were displaced past the boundary by the two
     # late-round-3 keys — both hold green r02 rows on unchanged code, and
     # the dedup family stays in-window via dedup_clusters + dedup_embed)
+    "join_broadcast",
     "dedup",
     "dedup_exact",
     "filter_pred",
@@ -136,7 +141,6 @@ _ORDER: list[str] = [
     "graph_remap",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "sim_ivf_cosine",
     "text_tokens",
     "text_langid",
     "text_fingerprint",
