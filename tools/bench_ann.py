@@ -86,6 +86,18 @@ def main() -> int:
         md.append(f"| {r['op']} | {r['recall_at_k']} | {r['wall_s']} |")
     md += [
         "",
+        "Data regime caveat: the synthetic embeddings are near-uniform "
+        "random, so true top-k neighbors are weak (rank-1 cosine ≈ 0.37 at "
+        "sf0.01) — the HARDEST case for locality-sensitive methods, which "
+        "exploit neighborhood structure that this data barely has. The "
+        "numbers are a mechanism comparison under worst-case data, not an "
+        "absolute recall claim: multi-probe recovers ~5× plain banded LSH "
+        "at the same plane count, and IVF at nprobe/k = 4/16 of the cells "
+        "scans ~25% of the corpus for ~61% recall. On clustered real "
+        "corpora (where near-dups exist) all three recover planted "
+        "near-identical pairs deterministically — that property is what "
+        "the pytest fixtures pin (tests/test_dedup_sim.py).",
+        "",
         "Multi-probe trades one broadcast-side probe explosion "
         "(x9 keys on the bounded query side only) for the recall lost to "
         "single-plane sign flips; IVF trades a k-means train plus nprobe "
