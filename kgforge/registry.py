@@ -77,6 +77,11 @@ _ORDER: list[str] = [
     "win_sessionize",
     "sim_lsh_multiprobe",
     "text_lm_score",
+    # graph_triangles_cdc is NEW late in round 3 (incremental triangle
+    # maintenance over the CDC edge feed) — windowed, displacing win_rank
+    # (window family keeps win_lag/win_range/win_analytic/win_sessionize
+    # in-window; win_rank's green r02 row is on code unchanged this round)
+    "graph_triangles_cdc",
     # -- (c) last driver-checked in round 1, re-certify on current code
     "join_smj",
     "join_shj",
@@ -109,7 +114,6 @@ _ORDER: list[str] = [
     "join_salted",
     "join_bucketed",
     "agg_pudf",
-    "win_rank",
     "topk_group",
     "graph_cc",
     "graph_nodes",
@@ -123,6 +127,7 @@ _ORDER: list[str] = [
     # late-round-3 keys — both hold green r02 rows on unchanged code, and
     # the dedup family stays in-window via dedup_clusters + dedup_embed)
     "join_broadcast",
+    "win_rank",
     "dedup",
     "dedup_exact",
     "filter_pred",

@@ -95,3 +95,51 @@ def test_sessionize_gap_boundaries(spark):
         (1, 2): (1, 2 * g + 1, 2 * g + 1),
         (2, 1): (1, 5, 5),
     }
+
+
+# ------------------------------------------------- incremental CDC triangles
+def test_changed_corners_all_edges_inserted_counts_once(spark):
+    """K4 with ALL 6 edges inserted: 4 triangles, each containing THREE
+    changed edges — each must be attributed to exactly one (its smallest),
+    so every node's corner count is 3, not 9."""
+    k4 = [("n1", "n2"), ("n1", "n3"), ("n1", "n4"), ("n2", "n3"),
+          ("n2", "n4"), ("n3", "n4")]
+    ins = _und(spark, k4)
+    adj = ins.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        ins.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+    def live(lo, hi):
+        # no persisting edges: live == 'inserted AND sorts after (a, b)'
+        return F.struct(lo.alias("x"), hi.alias("y")) > F.struct(
+            F.col("a").alias("x"), F.col("b").alias("y")
+        )
+
+    got = {
+        r["node_id"]: r["cnt"]
+        for r in graph.changed_edge_triangle_corners(ins, adj, live)
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == {"n1": 3, "n2": 3, "n3": 3, "n4": 3}
+
+
+def test_triangles_cdc_equals_rebuild(spark):
+    """The registered incremental op must equal a from-scratch Spark
+    re-enumeration of the NEW snapshot (the DuckDB oracle proves the same
+    equality cross-engine; this pins it engine-internally at sf0.001)."""
+    sf = "/root/testdata/sf0.001"
+    und = graph.undirected_entity_edges(spark, sf)
+    new_e = und.where(
+        graph._edge_nib(F.col("a"), F.col("b")) >= graph.CDC_DEL_MAX
+    )
+    want = {
+        (r["node_id"], r["triangles"])
+        for r in graph.triangle_counts(new_e).collect()
+    }
+    got = {
+        (r["node_id"], r["triangles"])
+        for r in graph.graph_triangles_cdc(spark, sf).collect()
+    }
+    assert got == want and got

@@ -141,3 +141,41 @@ def test_streaming_ingest_uses_partition_scoped_merge(spark, tmp_path_factory):
         assert old and [os.stat(f).st_ino for f in old] == [
             os.stat(f).st_ino for f in new
         ]
+
+
+def test_streaming_degree_maintenance_equals_batch(spark, tmp_path_factory):
+    """Edge CDC feed streamed in micro-batches into the degrees state table:
+    the final state must equal a from-scratch degree count of the NEW
+    snapshot (the streaming mirror of graph_triangles_cdc's incremental ==
+    rebuild contract, on the per-node scalar state)."""
+    from kgforge.io.tableio import Warehouse
+    from kgforge.ops import graph
+    from kgforge.streaming import graph_maintain as gm
+
+    sf = "/root/testdata/sf0.001"
+    und = graph.undirected_entity_edges(spark, sf)
+    tagged = und.withColumn(
+        "nib", graph._edge_nib(F.col("a"), F.col("b"))
+    ).persist()
+    old_e = tagged.where(F.col("nib") < graph.CDC_INS_MIN).select("a", "b")
+    new_e = tagged.where(F.col("nib") >= graph.CDC_DEL_MAX).select("a", "b")
+    feed = (
+        tagged.where(F.col("nib") < graph.CDC_DEL_MAX)
+        .select("a", "b", F.lit("delete").alias("change_type"))
+        .unionAll(
+            tagged.where(F.col("nib") >= graph.CDC_INS_MIN)
+            .select("a", "b", F.lit("insert").alias("change_type"))
+        )
+    )
+    assert feed.count() > 0  # the nib split must actually change something
+
+    root = str(tmp_path_factory.mktemp("deg_wh"))
+    wh = Warehouse(root)
+    wh.write_snapshot("degrees", gm.undirected_degrees(old_e))
+    gm.maintain_degrees(gm.edge_changes_stream(spark, feed, n_files=3), root)
+
+    got = {(r["node"], r["deg"]) for r in wh.read(spark, "degrees").collect()}
+    want = {
+        (r["node"], r["deg"]) for r in gm.undirected_degrees(new_e).collect()
+    }
+    assert got == want and got
