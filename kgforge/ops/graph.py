@@ -306,10 +306,12 @@ def triangle_counts(und: DataFrame) -> DataFrame:
             F.col("o2.v").alias("z"),
         )
     )
-    corners = (
-        tri.select(F.col("x").alias("node_id"))
-        .unionAll(tri.select(F.col("y").alias("node_id")))
-        .unionAll(tri.select(F.col("z").alias("node_id")))
+    # explode, NOT a 3-way union of selects: Catalyst has no cross-branch
+    # CSE, so the union form would execute the wedge join once per corner
+    # branch (3x the dominant cost); explode emits all three corners from
+    # ONE execution.
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node_id")
     )
     return corners.groupBy("node_id").agg(F.count(F.lit(1)).alias("triangles"))
 
@@ -612,11 +614,9 @@ def changed_edge_triangle_corners(
         other_live(F.least("a", "c"), F.greatest("a", "c"))
         & other_live(F.least("b", "c"), F.greatest("b", "c"))
     )
-    return (
-        filt.select(F.col("a").alias("node_id"))
-        .unionAll(filt.select(F.col("b").alias("node_id")))
-        .unionAll(filt.select(F.col("c").alias("node_id")))
-    )
+    # explode, not a 3-way union: one execution of the probe join emits
+    # all three corners (no cross-branch CSE in Catalyst)
+    return filt.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
 
 
 _NIB_SQL = "strpos('0123456789abcdef', substr(md5({x} || '|' || {y}), 1, 1)) - 1"

@@ -1134,7 +1134,12 @@ def sim_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= IVF_NPROBE)
         .select(F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv"), "cid")
     )
-    cand = probes.join(inverted, "cid").where(F.col("q_id") != F.col("vec_id"))
+    # broadcast the BOUNDED probe set (N_QUERIES x IVF_NPROBE rows); the
+    # inverted corpus streams through the hash join — no shuffle of the
+    # big side (same lesson as sim_topk_cosine's round-3 fix)
+    cand = F.broadcast(probes).join(inverted, "cid").where(
+        F.col("q_id") != F.col("vec_id")
+    )
     cos = _cos(F.col("q_qv"), F.col("qv"))
     return (
         cand.select(

@@ -39,6 +39,23 @@ NOTES = {
         "keys stream through the BroadcastHashJoin — no shuffle of the big "
         "side anywhere in the candidate stage."
     ),
+    "graph_triangles_cdc": (
+        "Incremental CDC triangles: the changed-edge probe joins read the "
+        "PERSISTED nib-tagged edge cut (InMemoryTableScan); the two "
+        "liveness conditions are Filter nodes (pure md5-nibble "
+        "expressions — no classification join); corners come from ONE "
+        "Generate (explode) per delta side, not a 3-way union that would "
+        "replay the probe join per corner branch."
+    ),
+    "sim_ivf_cosine": (
+        "IVF ANN: centroid assignment broadcasts the k x d centroid table "
+        "(BroadcastNestedLoopJoin) and the candidate join broadcasts the "
+        "bounded N_QUERIES x IVF_NPROBE probe set (BroadcastHashJoin "
+        "BuildLeft) — the corpus side streams shuffle-free through BOTH; "
+        "only the per-cell aggregation and the final top-k window "
+        "exchange. Training runs before this plan (per-iteration k x d "
+        "collects, driver-bounded)."
+    ),
     "text_lm_score": (
         "Conditional trigram LM: both model joins are BroadcastHashJoin "
         "(alphabet-bounded model tables); the only Exchanges are the two "
