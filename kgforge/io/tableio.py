@@ -172,13 +172,30 @@ class Warehouse:
         n = 1 + max((int(s.split("-")[1]) for s in existing), default=0)
         return f"snap-{n:06d}"
 
+    def snapshot_meta(self, table: str, snapshot: str | None = None) -> dict:
+        """The snapshot's manifest dict (includes any caller `meta` keys
+        committed with write_snapshot). Empty dict for a missing table —
+        callers treat absent keys as 'never applied'."""
+        snap = snapshot or self.latest_snapshot(table)
+        if snap is None:
+            return {}
+        with open(os.path.join(self._tdir(table), f"{snap}.manifest.json")) as f:
+            return json.load(f)
+
     def write_snapshot(
         self,
         table: str,
         df: DataFrame,
         partition_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> str:
-        """Commit df as a new snapshot and swap the LATEST pointer atomically."""
+        """Commit df as a new snapshot and swap the LATEST pointer atomically.
+
+        ``meta`` keys ride the manifest and commit in the SAME atomic
+        pointer swap as the data — the mechanism exactly-once consumers use
+        to record their progress marker (e.g. streaming graph maintenance
+        stores applied_batch_id so an at-least-once foreachBatch replay is
+        a no-op)."""
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
         snap = self._next_snapshot_id(table)
@@ -208,6 +225,7 @@ class Warehouse:
             "schema": df.schema.simpleString(),
             "committed_at": time.time(),
             "partition_by": partition_by or [],
+            **(meta or {}),
         }
         with open(os.path.join(tdir, f"{snap}.manifest.json"), "w") as f:
             json.dump(manifest, f)

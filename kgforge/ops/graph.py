@@ -626,10 +626,12 @@ _NIB_SQL = "strpos('0123456789abcdef', substr(md5({x} || '|' || {y}), 1, 1)) - 1
     "graph_triangles_cdc",
     # Oracle = recompute the NEW snapshot's triangle counts from scratch
     # (same degree-oriented enumeration as graph_triangles, restricted to
-    # und_b). The Spark side NEVER re-enumerates: it takes the OLD
-    # snapshot's materialized counts and applies a delta computed from the
-    # changed edges only — the hash equality is the incremental ==
-    # rebuild proof.
+    # und_b). The Spark side's DELTA stage never re-enumerates — it touches
+    # only changed edges against the reference adjacency; the OLD
+    # snapshot's counts are recomputed in-op purely because a registered
+    # query has no state between driver calls (production maintains them
+    # as the table this op would read). The hash equality is the
+    # incremental == rebuild proof.
     sql=_GRAPH_SQL_PREFIX + f""",
     und_b AS MATERIALIZED (
       SELECT a, b FROM und
@@ -665,10 +667,12 @@ _NIB_SQL = "strpos('0123456789abcdef', substr(md5({x} || '|' || {y}), 1, 1)) - 1
         "from inserted/deleted edges (each changed triangle attributed to "
         "its lexicographically-smallest changed edge, so it is counted "
         "exactly once; the other two edges' liveness is a pure expression "
-        "of the deterministic edge class — no extra join). Work scales "
-        "with |changed edges| x neighbor probes, not |E| — the oracle "
-        "recomputes the new snapshot from scratch, so the value hash IS "
-        "the incremental-equals-rebuild proof."
+        "of the deterministic edge class — no extra join). The DELTA "
+        "stage's work scales with |changed edges| x neighbor probes, not "
+        "|E| (the old counts, read from a state table in production, are "
+        "recomputed in-op only because registered queries are stateless); "
+        "the oracle recomputes the new snapshot from scratch, so the "
+        "value hash IS the incremental-equals-rebuild proof."
     ),
 )
 def graph_triangles_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:

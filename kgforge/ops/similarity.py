@@ -1108,18 +1108,23 @@ def _ivf_sql() -> str:
 )
 def sim_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    cents = ivf_train(q).persist()
+    # persist the narrow quantized cut ONCE: training scans it per Lloyd
+    # iteration and the query below references it twice (inverted lists +
+    # query set) — without the persist each reference re-scans + re-quantizes
+    q = emb.select("vec_id", _quant(F.col("embedding")).alias("qv")).persist()
+    cents = ivf_train(q)
 
     d2 = _l2sq(F.col("qv"), F.col("cv"))
-    assign = (
+    # carry qv THROUGH the assignment aggregate (qv is functionally
+    # determined by vec_id) — joining assignments back to q would put a
+    # corpus-sized side under a broadcast/shuffle for nothing
+    inverted = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("d2", d2)
-        .groupBy("vec_id")
+        .groupBy("vec_id", "qv")
         .agg(F.min(F.struct("d2", "cid")).alias("best"))
-        .select("vec_id", F.col("best.cid").alias("cid"))
+        .select("vec_id", "qv", F.col("best.cid").alias("cid"))
     )
-    inverted = q.join(assign, "vec_id")  # cell lists
 
     queries = q.where(F.col("vec_id") < N_QUERIES)
     probes = (
@@ -1143,9 +1148,9 @@ def sim_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _cos(F.col("q_qv"), F.col("qv"))
     return (
         cand.select(
-            F.col("q_id").alias("vec_id_q"), F.col("vec_id").alias("nn_id"), cos.alias("cos")
+            F.col("q_id").alias("vec_id"), F.col("vec_id").alias("nn_id"),
+            cos.alias("cos"),
         )
-        .withColumnRenamed("vec_id_q", "vec_id")
         .withColumn("rank", F.row_number().over(
             Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("nn_id"))
         ).cast("int"))

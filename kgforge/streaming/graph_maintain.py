@@ -16,13 +16,13 @@ degree 0 remove the row (the table holds live nodes only).
 
 from __future__ import annotations
 
-import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgforge.io.tableio import Warehouse
+from kgforge.streaming import replay
 
 
 def undirected_degrees(edges: DataFrame) -> DataFrame:
@@ -42,25 +42,14 @@ def edge_changes_stream(
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Replay an edge CDC feed (a, b, change_type) as a file-source stream
-    (micro-batches split by edge ranges; ascending mtimes fix order) —
-    same replay harness as the transcript ingestion stream."""
-    out = tempfile.mkdtemp(prefix="kgforge_edge_replay_")
-    (
-        changes.repartitionByRange(n_files, "a", "b")
-        .sortWithinPartitions("a", "b")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    parts = sorted(
-        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
-    )
-    base = int(os.path.getmtime(os.path.join(out, parts[0])))
-    for i, f in enumerate(parts):
-        os.utime(os.path.join(out, f), (base + i, base + i))
-    return (
-        spark.readStream.schema(changes.schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(out)
+    (micro-batches split by edge ranges) — the shared replay harness."""
+    return replay.replay_stream(
+        spark,
+        changes,
+        ["a", "b"],
+        n_files=n_files,
+        max_files_per_trigger=max_files_per_trigger,
+        prefix="kgforge_edge_replay_",
     )
 
 
@@ -69,11 +58,20 @@ def maintain_degrees(stream: DataFrame, warehouse_root: str) -> None:
     degree delta into the warehouse `degrees` table (which must hold the
     old snapshot's degrees before the stream starts). Each batch is one
     bounded read-modify-write: delta agg (batch-sized) + full-outer join
-    against the entity-bounded state table + snapshot write."""
+    against the entity-bounded state table + snapshot write.
+
+    Exactly-once under at-least-once foreachBatch: the applied batch_id
+    rides the degrees snapshot's manifest and commits in the SAME atomic
+    pointer swap as the data, so a replayed batch (failure between the
+    snapshot commit and the stream checkpoint, or a full re-run against
+    the same ordered feed) sees batch_id <= applied_batch_id and is a
+    no-op instead of double-applying its delta."""
     wh = Warehouse(warehouse_root)
 
     def process_batch(bdf: DataFrame, batch_id: int) -> None:
         sp = bdf.sparkSession
+        if batch_id <= wh.snapshot_meta("degrees").get("applied_batch_id", -1):
+            return  # at-least-once replay of an already-committed batch
         sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
@@ -97,7 +95,7 @@ def maintain_degrees(stream: DataFrame, warehouse_root: str) -> None:
             )
             .where(F.col("deg") > 0)
         )
-        wh.write_snapshot("degrees", new)
+        wh.write_snapshot("degrees", new, meta={"applied_batch_id": batch_id})
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

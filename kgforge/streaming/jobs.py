@@ -21,7 +21,6 @@ the MERGE idempotence so replayed micro-batches are safe.
 
 from __future__ import annotations
 
-import os
 import tempfile
 from collections.abc import Iterator
 
@@ -32,34 +31,21 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kgforge.io.tableio import Warehouse
 from kgforge.ops._util import dsum
+from kgforge.streaming import replay
 from kgforge.tables import load
 
 
 def replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Materialize the events table as an n-file directory for the file
     stream source (the driver table is a single file; a directory of several
-    files gives a real multi-micro-batch replay with maxFilesPerTrigger=1)."""
-    out = tempfile.mkdtemp(prefix="kgforge_replay_")
-    # Range-partition by ts so micro-batches advance in event time (a replay
-    # that scatters time across batches would — correctly — get its stragglers
-    # dropped by the watermark; the gate wants watermark-clean equality).
-    (
-        load(spark, sf_dir, "events")
-        .repartitionByRange(n_files, "ts")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(out)
+    files gives a real multi-micro-batch replay with maxFilesPerTrigger=1).
+    Range-partitioned by ts so micro-batches advance in event time — a
+    replay that scatters time across batches would (correctly) get its
+    stragglers dropped by the watermark; the gate wants watermark-clean
+    equality."""
+    return replay.replay_parquet_dir(
+        load(spark, sf_dir, "events"), ["ts"], n_files=n_files
     )
-    # FileStreamSource orders files by modification time; the single write
-    # commit gives every part file the same mtime, so stamp ascending mtimes
-    # in part order (range partitioning makes part order = ts order).
-    parts = sorted(
-        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
-    )
-    base = int(os.path.getmtime(os.path.join(out, parts[0])))
-    for i, f in enumerate(parts):
-        os.utime(os.path.join(out, f), (base + i, base + i))
-    return out
 
 
 def events_stream(

@@ -12,13 +12,13 @@ equivalent of the bot's create-or-update writes.
 
 from __future__ import annotations
 
-import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from kgforge import canon, extract, link, metrics, triples
 from kgforge.io.tableio import Warehouse
+from kgforge.streaming import replay
 
 
 def transcripts_stream(
@@ -29,24 +29,13 @@ def transcripts_stream(
 ) -> DataFrame:
     """Replay a transcript DataFrame as a file-source stream (micro-batches
     split by conversation ranges; ascending mtimes fix source order)."""
-    out = tempfile.mkdtemp(prefix="kgforge_tr_replay_")
-    (
-        transcripts.repartitionByRange(n_files, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    parts = sorted(
-        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
-    )
-    base = int(os.path.getmtime(os.path.join(out, parts[0])))
-    for i, f in enumerate(parts):
-        os.utime(os.path.join(out, f), (base + i, base + i))
-    schema = transcripts.schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(out)
+    return replay.replay_stream(
+        spark,
+        transcripts,
+        ["conv_id", "turn_idx"],
+        n_files=n_files,
+        max_files_per_trigger=max_files_per_trigger,
+        prefix="kgforge_tr_replay_",
     )
 
 

@@ -44,6 +44,10 @@ def test_driver_window_covers_round3_targets():
         "scan_cdc", "pipe_incremental", "graph_pagerank", "dedup_clusters",
         "graph_triangles", "graph_jaccard", "graph_bfs", "win_sessionize",
         "sim_lsh_multiprobe", "text_lm_score",
+        # late round 3: oracle upgraded (rows-only -> unrolled-Lloyd full)
+        # resp. brand-new — a green r02 rows-only row must NOT satisfy the
+        # past-window lint for these; they need current-code driver rows
+        "sim_ivf_cosine", "graph_triangles_cdc",
         # last driver-checked in round 1 (re-certify on current code)
         "join_smj", "join_shj", "join_left", "join_semi", "join_anti",
         "join_range", "join_cross", "agg_distinct", "agg_collect",

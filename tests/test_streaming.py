@@ -179,3 +179,12 @@ def test_streaming_degree_maintenance_equals_batch(spark, tmp_path_factory):
         (r["node"], r["deg"]) for r in gm.undirected_degrees(new_e).collect()
     }
     assert got == want and got
+
+    # at-least-once replay safety: re-draining the SAME ordered feed (fresh
+    # stream + fresh checkpoint, identical batch ids) must be a no-op — the
+    # applied_batch_id marker commits atomically with each degrees snapshot
+    snap_before = wh.latest_snapshot("degrees")
+    gm.maintain_degrees(gm.edge_changes_stream(spark, feed, n_files=3), root)
+    assert wh.latest_snapshot("degrees") == snap_before
+    rerun = {(r["node"], r["deg"]) for r in wh.read(spark, "degrees").collect()}
+    assert rerun == want
