@@ -44,6 +44,40 @@ QUANT = 1000  # fixed-point scale for embeddings
 _HEX = "0123456789abcdef"
 
 
+# Memoized heavy cuts, keyed like corpus._MEMO: three registered keys
+# (dedup_minhash, dedup_clusters, dedup_ngram_jaccard) build the identical
+# persisted shingle cut, and dedup_clusters re-derives the exact pair set
+# dedup_minhash just produced. sf dirs are immutable and entries are scoped
+# to the live applicationId, so within one driver/bench session each cut
+# materializes once (stale entries from stopped sessions never hit).
+_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
+_MINHASH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ``(doc_id, sh)`` shingle cut, one per (app, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHINGLE_MEMO.get(key)
+    if df is None:
+        df = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", _shingles(F.col("text")).alias("sh"))
+            .persist()
+        )
+        _SHINGLE_MEMO[key] = df
+    return df
+
+
+def _minhash_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted verified near-dup pair set, one per (app, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _MINHASH_PAIRS_MEMO.get(key)
+    if df is None:
+        df = minhash_pairs(_shingle_docs(spark, sf_dir)).persist()
+        _MINHASH_PAIRS_MEMO[key] = df
+    return df
+
+
 # ---------------------------------------------------------------- shingles
 def _shingles(text: Column) -> Column:
     """3-token shingles (whole text if shorter) — distinct set."""
@@ -187,12 +221,7 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     ),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", _shingles(F.col("text")).alias("sh"))
-        .persist()
-    )
-    return minhash_pairs(docs)
+    return _minhash_pairs_memo(spark, sf_dir)
 
 
 @register(
@@ -226,24 +255,25 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", _shingles(F.col("text")).alias("sh"))
-        .persist()
+    return near_dup_clusters(
+        _shingle_docs(spark, sf_dir), pairs=_minhash_pairs_memo(spark, sf_dir)
     )
-    return near_dup_clusters(docs)
 
 
-def near_dup_clusters(docs: DataFrame) -> DataFrame:
+def near_dup_clusters(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """``docs(doc_id, sh)`` → (doc_id, cluster_id, cluster_size) for every
-    doc in a near-dup cluster (minhash pairs + transitive closure)."""
+    doc in a near-dup cluster (minhash pairs + transitive closure).
+
+    ``pairs`` lets a caller supply an already-persisted verified pair set
+    (the registered key passes the memoized one); when None it is derived
+    here and persisted — the pair set feeds the driver edge pull
+    (canonical_map_auto), the entity derivation, AND the size join, and
+    Catalyst has no cross-branch CSE, so an unpersisted pair plan would
+    re-run the banded candidate+verify joins once per reference."""
     from kgforge import canon
 
-    # Persist at the reuse boundary: the pair set feeds the driver edge pull
-    # (canonical_map_auto), the entity derivation, AND the size join —
-    # Catalyst has no cross-branch CSE, so without this the banded
-    # candidate+verify joins would re-run once per reference.
-    pairs = minhash_pairs(docs).persist()
+    if pairs is None:
+        pairs = minhash_pairs(docs).persist()
     # canonical_map is string-typed; fixed-width zero padding makes the
     # min-string canonical id equal the min doc_id.
     def enc(c: str) -> Column:
@@ -432,13 +462,9 @@ def jaccard_prefix_candidates(d: DataFrame, t: float = JACCARD_T) -> DataFrame:
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Persist the shingle cut: it feeds the df-count branch, the prefix
+    # The memoized shingle cut feeds the df-count branch, the prefix
     # branch, and both verify sides (no cross-branch CSE in Catalyst).
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", _shingles(F.col("text")).alias("sh"))
-        .persist()
-    )
+    d = _shingle_docs(spark, sf_dir)
     cand = jaccard_prefix_candidates(d)
     x = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
