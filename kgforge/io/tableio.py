@@ -188,6 +188,7 @@ class Warehouse:
         df: DataFrame,
         partition_by: list[str] | None = None,
         meta: dict | None = None,
+        align: bool = True,
     ) -> str:
         """Commit df as a new snapshot and swap the LATEST pointer atomically.
 
@@ -195,7 +196,14 @@ class Warehouse:
         pointer swap as the data — the mechanism exactly-once consumers use
         to record their progress marker (e.g. streaming graph maintenance
         stores applied_batch_id so an at-least-once foreachBatch replay is
-        a no-op)."""
+        a no-op).
+
+        ``align=False`` skips the pre-write repartition on the partition
+        columns, writing one file per (task, partition value) — the
+        small-file explosion that incremental/streaming sinks produce in
+        the wild. Exists so tests and the sink_compact key can reproduce a
+        fragmented layout deliberately; production writes keep the
+        default."""
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
         snap = self._next_snapshot_id(table)
@@ -207,7 +215,7 @@ class Warehouse:
         from pyspark.sql import functions as F
 
         obs = Observation()
-        if partition_by:
+        if partition_by and align:
             # Align physical partitions with the partition columns first: a
             # partitioned write from N shuffle partitions × P partition values
             # otherwise fans out to N×P small files (file-count explosion —
@@ -413,6 +421,149 @@ class Warehouse:
             "committed_at": time.time(),
             "partition_by": [part_col],
             "merge_scope": sorted(str(v) for v in affected),
+        }
+        with open(os.path.join(tdir, f"{snap}.manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._latest_file(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(snap)
+        os.replace(tmp, self._latest_file(table))
+        return snap
+
+    def iceberg_rewrite_stmt(self, table: str) -> str:
+        """The rewrite_data_files call the fmt="iceberg" compact path
+        issues (binpacks from manifest file stats — unaffected files are
+        never read). Pure string builder, asserted cold in tests."""
+        return (
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{table}', options => map('min-input-files', '2'))"
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> str:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` binpack
+        semantics): rewrite partitions fragmented into more data files than
+        their bytes justify, hard-link already-compact partitions unchanged,
+        and commit as a new snapshot with IDENTICAL content. Returns the
+        current snapshot id without committing anything when no partition
+        needs rewriting — a no-op compaction never creates a snapshot.
+
+        Scale contract: incremental/streaming sinks fragment a table into
+        one file per micro-batch per partition, and scans then pay a
+        per-file open cost that grows without bound (the classic small-file
+        problem). Compaction must move each affected byte exactly once:
+        affected partitions are read in ONE job restricted to their
+        directories and rewritten aligned to the partition column; untouched
+        partitions are hard-linked — zero data movement, same mechanism as
+        the partition-scoped MERGE. The manifest inherits the old row count
+        (content-identical by construction; recounting would double every
+        compaction's cost) and records ``compacted_from``.
+        """
+        import math
+
+        from pyspark.sql import functions as F
+
+        if self.fmt == "iceberg":
+            spark.sql(self.iceberg_rewrite_stmt(table))
+            ident = self.iceberg_table_ident(table)
+            snap = spark.sql(
+                f"SELECT snapshot_id FROM {ident}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).first()
+            return str(snap[0])
+
+        old_snap = self.latest_snapshot(table)
+        if old_snap is None:
+            raise FileNotFoundError(f"table {table!r} has no snapshot in {self.root}")
+        meta = self.snapshot_meta(table)
+        part_by = meta.get("partition_by") or []
+        old_dir = os.path.join(self._tdir(table), old_snap)
+
+        def _pq_files(d: str) -> list[str]:
+            return [
+                os.path.join(d, fn)
+                for fn in os.listdir(d)
+                if fn.endswith(".parquet")
+            ]
+
+        def _n_target(files: list[str]) -> int:
+            return max(
+                1, math.ceil(sum(os.path.getsize(f) for f in files) / target_file_bytes)
+            )
+
+        tdir = self._tdir(table)
+        if not part_by:
+            files = _pq_files(old_dir)
+            n_out = _n_target(files)
+            if len(files) <= n_out:
+                return old_snap
+            snap = self._next_snapshot_id(table)
+            data_dir = os.path.join(tdir, snap)
+            # coalesce, not repartition: compaction of an unpartitioned
+            # table is a pure narrow read-small/write-big pass, zero shuffle
+            spark.read.parquet(old_dir).coalesce(n_out).write.mode(
+                "overwrite"
+            ).parquet(data_dir)
+        else:
+            part_col = part_by[0]
+            part_dirs = [
+                e for e in os.listdir(old_dir)
+                if os.path.isdir(os.path.join(old_dir, e))
+                and e.startswith(f"{part_col}=")
+            ]
+            affected = [
+                e for e in part_dirs
+                if len(_pq_files(os.path.join(old_dir, e)))
+                > _n_target(_pq_files(os.path.join(old_dir, e)))
+            ]
+            if not affected:
+                return old_snap
+            snap = self._next_snapshot_id(table)
+            data_dir = os.path.join(tdir, snap)
+            # ONE job over only the fragmented partitions' bytes: basePath
+            # keeps the partition column, the repartition co-locates each
+            # value (a shuffle of exactly the bytes that must be rewritten
+            # anyway), and the aligned write emits one file per value.
+            src = spark.read.option("basePath", old_dir).parquet(
+                *[os.path.join(old_dir, e) for e in affected]
+            )
+            src.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
+                part_col
+            ).parquet(data_dir)
+            written = {
+                e for e in os.listdir(data_dir)
+                if os.path.isdir(os.path.join(data_dir, e)) and "=" in e
+            }
+            if written != set(affected):
+                # Hive-encoding round-trip mismatch: abandon the uncommitted
+                # dir (LATEST never swapped, readers never see it) and fall
+                # back to a full aligned rewrite — correct, moves every byte
+                # once.
+                shutil.rmtree(data_dir, ignore_errors=True)
+                return self.write_snapshot(
+                    table, self.read(spark, table), part_by,
+                    meta={"compacted_from": old_snap},
+                )
+            for e in part_dirs:
+                if e in written:
+                    continue
+                src_d, dst_d = os.path.join(old_dir, e), os.path.join(data_dir, e)
+                os.makedirs(dst_d, exist_ok=True)
+                for f in _pq_files(src_d):
+                    os.link(f, os.path.join(dst_d, os.path.basename(f)))
+
+        manifest = {
+            "snapshot_id": snap,
+            "parent": old_snap,
+            "rows": meta["rows"],
+            "schema": meta["schema"],
+            "committed_at": time.time(),
+            "partition_by": part_by,
+            "compacted_from": old_snap,
         }
         with open(os.path.join(tdir, f"{snap}.manifest.json"), "w") as f:
             json.dump(manifest, f)

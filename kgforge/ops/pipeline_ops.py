@@ -386,6 +386,47 @@ def sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_compact",
+    # Full oracle: compaction must be content-preserving, so the compacted
+    # table equals the triple derivation exactly — the same contract shape
+    # as sink_merge's idempotence oracle. The file-count, hard-link, and
+    # no-op mechanics (the parts SQL cannot see) are pinned in
+    # tests/test_tableio.py.
+    sql=_PRELUDE + ",\n" + _MENTIONS_CTE + ",\n" + _LINKED_CTE + ",\n" + _TRIPLES_CTE
+    + "\nSELECT subj, pred, obj, conv_id, turn_idx, confidence FROM final_triples",
+    doc=(
+        "Small-file compaction sink (Iceberg rewrite_data_files semantics): "
+        "materialize the triples into a deliberately fragmented partitioned "
+        "snapshot (one file per task per partition value — the layout "
+        "incremental sinks produce), compact it (fragmented partitions "
+        "rewritten in one partition-pruned job, compact ones hard-linked), "
+        "and return the table; the value hash proves compaction preserves "
+        "content bit-for-bit."
+    ),
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kgforge.io.tableio import Warehouse
+
+    wh = Warehouse(tempfile.mkdtemp(prefix="kgforge_compact_"))
+    tri = pipe_triples(spark, sf_dir)
+    frag = tri.withColumn(
+        "lineage_part",
+        F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(8)).cast("int"),
+    )
+    # align=False + an 8-way shuffle reproduces the small-file explosion:
+    # up to 8 tasks × 8 partition values = 64 files for ~1k rows.
+    wh.write_snapshot(
+        "triples", frag.repartition(8), partition_by=["lineage_part"], align=False
+    )
+    wh.compact(spark, "triples")
+    return wh.read(spark, "triples").select(
+        "subj", "pred", "obj", "conv_id", "turn_idx", "confidence"
+    )
+
+
+@register(
     "scan_cdc",
     # Full oracle by predicate algebra: snapshot 1 holds the even-turn_idx
     # transcript subset A, snapshot 2 OVERWRITES with the turn_idx >= 1

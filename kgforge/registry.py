@@ -161,7 +161,16 @@ _ORDER: list[str] = [
     "join_asof",
     "win_running",
     "mm_manifest",
+    # Registered AFTER the round-3 window rotation was certified: past the
+    # window by necessity (every in-window slot is a must-have), carries
+    # full local-oracle + pytest evidence, fronts the round-4 rotation.
+    "sink_compact",
 ]
+
+# Keys registered after the round's window rotation: exempt from the
+# "past-window keys must be round-2 green" lint (they had no prior driver
+# coverage to lose) and first in line for the next rotation.
+POST_ROTATION_NEW = {"sink_compact"}
 
 
 def all_ops() -> dict[str, OpSpec]:

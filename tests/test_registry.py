@@ -69,6 +69,8 @@ def test_keys_past_window_are_round2_green():
     with open(path) as f:
         r02 = json.load(f)
     for key in registry._ORDER[50:]:
+        if key in registry.POST_ROTATION_NEW:
+            continue  # registered post-rotation: no prior coverage to lose
         row = r02.get(key)
         assert row is not None, f"{key} past window with no r02 row"
         ok = row.get("hash_match") is True or (

@@ -230,3 +230,86 @@ def test_merge_source_unique_skips_nothing_semantically(spark, tmp_path):
     a = sorted(map(tuple, wa.read(spark, "t").collect()))
     b = sorted(map(tuple, wb.read(spark, "t").collect()))
     assert a == b and len(a) == 15
+
+
+def test_compact_unpartitioned_collapses_files(spark, tmp_path):
+    """Compacting an unpartitioned fragmented snapshot collapses the file
+    count to the byte-justified target, preserves content exactly, inherits
+    the row count without a recount, and no-ops when already compact."""
+    import glob
+
+    wh = Warehouse(str(tmp_path))
+    df = spark.range(100).withColumnRenamed("id", "k")
+    wh.write_snapshot("t", df.repartition(8))
+    snap1 = wh.latest_snapshot("t")
+    before = glob.glob(str(tmp_path / "t" / snap1 / "*.parquet"))
+    assert len(before) == 8
+
+    snap2 = wh.compact(spark, "t")
+    assert snap2 != snap1
+    after = glob.glob(str(tmp_path / "t" / snap2 / "*.parquet"))
+    assert len(after) == 1
+    assert _rows(wh.read(spark, "t")) == [(i,) for i in range(100)]
+    m = wh.snapshot_meta("t")
+    assert m["rows"] == 100 and m["compacted_from"] == snap1
+
+    # already compact: no new snapshot is committed
+    assert wh.compact(spark, "t") == snap2
+    assert [x["snapshot_id"] for x in wh.snapshots("t")] == [snap1, snap2]
+
+
+def test_compact_partitioned_rewrites_only_fragmented(spark, tmp_path):
+    """Fragmented partitions are rewritten to one file; already-compact
+    partitions are hard-linked (same inode — zero data movement)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path))
+    # partition 0 fragmented across 4 tasks; partition 1 compact in 1 task
+    # (union concatenates partitions without reshuffling)
+    frag = (
+        spark.range(40)
+        .select(F.col("id").alias("k"), F.lit(0).alias("p"))
+        .repartition(4)
+    )
+    tight = (
+        spark.range(40, 50)
+        .select(F.col("id").alias("k"), F.lit(1).alias("p"))
+        .coalesce(1)
+    )
+    wh.write_snapshot("t", frag.unionAll(tight), partition_by=["p"], align=False)
+    snap1 = wh.latest_snapshot("t")
+    assert len(glob.glob(str(tmp_path / "t" / snap1 / "p=0" / "*.parquet"))) == 4
+    assert len(glob.glob(str(tmp_path / "t" / snap1 / "p=1" / "*.parquet"))) == 1
+
+    snap2 = wh.compact(spark, "t")
+    assert snap2 != snap1
+    assert len(glob.glob(str(tmp_path / "t" / snap2 / "p=0" / "*.parquet"))) == 1
+    # p=1 was hard-linked: identical inode set
+    old1 = {os.stat(f).st_ino
+            for f in glob.glob(str(tmp_path / "t" / snap1 / "p=1" / "*.parquet"))}
+    new1 = {os.stat(f).st_ino
+            for f in glob.glob(str(tmp_path / "t" / snap2 / "p=1" / "*.parquet"))}
+    assert old1 == new1
+    # p=0 was rewritten: disjoint inodes
+    old0 = {os.stat(f).st_ino
+            for f in glob.glob(str(tmp_path / "t" / snap1 / "p=0" / "*.parquet"))}
+    new0 = {os.stat(f).st_ino
+            for f in glob.glob(str(tmp_path / "t" / snap2 / "p=0" / "*.parquet"))}
+    assert not (old0 & new0)
+    got = sorted((r.k, r.p) for r in wh.read(spark, "t").collect())
+    assert got == [(i, 0) for i in range(40)] + [(i, 1) for i in range(40, 50)]
+    assert wh.rows("t") == 50
+
+    # second compact: everything already at one file per partition → no-op
+    assert wh.compact(spark, "t") == snap2
+
+
+def test_iceberg_rewrite_statement_rendering():
+    wh = Warehouse("/tmp/kgforge-iceberg-test", fmt="iceberg", catalog="lake")
+    assert wh.iceberg_rewrite_stmt("triples") == (
+        "CALL lake.system.rewrite_data_files("
+        "table => 'triples', options => map('min-input-files', '2'))"
+    )
