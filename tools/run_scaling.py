@@ -127,6 +127,7 @@ N → 4N pairs (each level = median of {runs} runs):
 def write_report(report: dict) -> None:
     runs = report.get("runs", 1)
     sets = report["sets"]
+    notes = "".join(f"\n{n}\n" for n in report.get("notes", []))
     blocks = "\n".join(_set_block(e, runs) for e in sets)
     convs_list = ", ".join(f"{e['convs']:,}" for e in sets)
     repro = " ".join(str(e["convs"]) for e in sets)
@@ -181,7 +182,7 @@ local[8] up to ±25–30% between back-to-back runs (hypervisor steal time —
 monitored via /proc/stat during ladders); local[1]/local[2] stay within
 ±2%. Conclusions about scaling therefore come from median-of-N ladders run
 in a steal-quiet window, never from single runs.
-
+{notes}
 ## Connected components at graph scale
 
 `python tools/bench_cc.py` — distributed CC on deterministic random graphs
