@@ -328,3 +328,154 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("lm_score DIV n_tri").alias("lm_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus sharding for training: deterministic split assignment + token-budget
+# packing. Both are pure functions of md5(doc_id) — no RNG, no state, so a
+# 100-TB corpus reshards identically on every run and on every engine.
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 4096  # token budget per training shard
+# Scan fan-out for the distributed prefix sum: the first md5 byte. The bucket
+# value is MONOTONE in the md5 hex key (a lexicographic prefix), so
+# (bucket asc, key asc) equals the global key order — that is what lets
+# per-bucket local scans compose into the exact global scan.
+PACK_BUCKETS = 256
+
+SPLIT_TRAIN_PCT = 90  # 0..89 train
+SPLIT_VAL_PCT = 95    # 90..94 val, 95..99 test
+
+
+@register(
+    "text_split",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(({" + ".join(
+                 f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+                 f" * {16 ** (3 - i)}"
+                 for i in range(4)
+             )}) % 100 AS INT) AS split_bucket
+      FROM documents
+    )
+    SELECT doc_id, split_bucket,
+           CASE WHEN split_bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN split_bucket < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM t
+    """,
+    doc=(
+        "Deterministic train/val/test assignment: split_bucket = first two "
+        f"md5(doc_id) bytes mod 100, thresholds {SPLIT_TRAIN_PCT}/"
+        f"{SPLIT_VAL_PCT}/100. A pure per-row expression — no shuffle, no "
+        "sampling state; adding documents never reassigns existing ones "
+        "(the property random split lacks at 100 TB)."
+    ),
+)
+def text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    ).cast("int")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        b.alias("split_bucket"),
+        F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(b < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "text_pack",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+             CAST(length(string_split(text, ' ')) AS INT) AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS prefix
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           prefix // {PACK_CAPACITY} AS shard_id,
+           prefix % {PACK_CAPACITY} AS shard_offset
+    FROM s
+    """,
+    doc=(
+        "Token-budget shard packing: documents in deterministic md5(doc_id) "
+        "order, exclusive prefix sum of token counts, shard_id = prefix DIV "
+        f"{PACK_CAPACITY}. Spark side is a TWO-PHASE DISTRIBUTED SCAN "
+        f"(per-bucket local window over {PACK_BUCKETS} md5-prefix buckets + "
+        "an exclusive scan of the bucket totals joined back) — the oracle is "
+        "the textbook single ORDER BY window, so the value hash PROVES the "
+        "distributed scan equals the sequential prefix sum."
+    ),
+)
+def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training shards.
+
+    Scale notes: a single global `ORDER BY key` window funnels the whole
+    corpus through ONE task — the classic sequential-scan trap. Instead the
+    prefix sum is computed in two phases (Blelloch scan on DataFrames):
+
+      1. local exclusive cumsum within each of the PACK_BUCKETS md5-prefix
+         buckets — a window PARTITIONED by bucket, all buckets in parallel
+         (plan-asserted: no unpartitioned window);
+      2. one exclusive scan over the 256 bucket totals (driver-side — the
+         collect is bounded by PACK_BUCKETS rows BY CONSTRUCTION, never by
+         data volume) broadcast-joined back as each bucket's global offset.
+
+    Documents may straddle a shard boundary (shard_offset + n_tokens >
+    capacity): at training time the loader splits/continues the straddler —
+    exact greedy repacking is inherently sequential and is precisely what a
+    100-TB pipeline avoids.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("pack_key"),
+    )
+    docs = docs.withColumn(
+        "pack_bucket",
+        F.conv(F.substring("pack_key", 1, 2), 16, 10).cast("int"),
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("pack_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    docs = docs.withColumn(
+        "local_prefix",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+    )
+    # ≤ PACK_BUCKETS rows by construction — the driver never sees doc rows.
+    totals = docs.groupBy("pack_bucket").agg(
+        F.sum("n_tokens").alias("bucket_total")
+    ).collect()
+    offsets, running = [], 0
+    for r in sorted(totals, key=lambda r: r["pack_bucket"]):
+        offsets.append((r["pack_bucket"], running))
+        running += r["bucket_total"]
+    if not offsets:  # empty corpus
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(
+        offsets, "pack_bucket int, bucket_offset bigint"
+    )
+    return (
+        docs.join(F.broadcast(off_df), "pack_bucket")
+        .withColumn("prefix", F.col("bucket_offset") + F.col("local_prefix"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"prefix DIV {PACK_CAPACITY}").alias("shard_id"),
+            F.expr(f"prefix % {PACK_CAPACITY}").alias("shard_offset"),
+        )
+    )

@@ -165,12 +165,14 @@ _ORDER: list[str] = [
     # window by necessity (every in-window slot is a must-have), carries
     # full local-oracle + pytest evidence, fronts the round-4 rotation.
     "sink_compact",
+    "text_split",
+    "text_pack",
 ]
 
 # Keys registered after the round's window rotation: exempt from the
 # "past-window keys must be round-2 green" lint (they had no prior driver
 # coverage to lose) and first in line for the next rotation.
-POST_ROTATION_NEW = {"sink_compact"}
+POST_ROTATION_NEW = {"sink_compact", "text_split", "text_pack"}
 
 
 def all_ops() -> dict[str, OpSpec]:

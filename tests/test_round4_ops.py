@@ -132,3 +132,57 @@ def test_lm_score_gibberish_scores_below_repetitive(spark, tmp_path):
     }
     assert rows[1] > rows[3]
     assert rows[2] > rows[3]
+
+
+# ---------------------------------------------------------------------------
+# Corpus sharding: text_pack (distributed prefix sum) + text_split
+# ---------------------------------------------------------------------------
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def test_text_pack_equals_sequential_prefix_sum(spark):
+    """Reconstructed prefix (shard_id * CAP + shard_offset) must be the exact
+    exclusive running sum of token counts in global md5(doc_id) order — the
+    property the two-phase scan exists to preserve."""
+    import hashlib
+
+    rows = text.text_pack(spark, SF_TINY).collect()  # 500 docs at sf0.001
+    cap = text.PACK_CAPACITY
+    by_key = sorted(rows, key=lambda r: hashlib.md5(str(r.doc_id).encode()).hexdigest())
+    running = 0
+    for r in by_key:
+        prefix = r.shard_id * cap + r.shard_offset
+        assert prefix == running, (r.doc_id, prefix, running)
+        assert 0 <= r.shard_offset < cap
+        running += r.n_tokens
+
+
+def test_text_pack_has_no_unpartitioned_window(spark):
+    """The scan must parallelize: every Window in the plan is partitioned by
+    pack_bucket (a global ORDER BY window would funnel the corpus through one
+    task)."""
+    from tests.test_plans import _plan
+
+    plan = _plan(text.text_pack(spark, SF_TINY))
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "expected a window in the text_pack plan"
+    assert all("pack_bucket" in s for s in specs), specs
+
+
+def test_text_split_fractions_stable(spark):
+    df = text.text_split(spark, SF_TINY)
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == 500
+    # md5 is uniform; 500 docs → binomial noise, keep loose bounds
+    assert 0.80 <= counts.get("train", 0) / total <= 0.97
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    # deterministic: a second run assigns identically
+    again = {r["doc_id"]: r["split"] for r in text.text_split(spark, SF_TINY).collect()}
+    first = {r["doc_id"]: r["split"] for r in df.collect()}
+    assert first == again
