@@ -346,17 +346,28 @@ PACK_BUCKETS = 256
 SPLIT_TRAIN_PCT = 90  # 0..89 train
 SPLIT_VAL_PCT = 95    # 90..94 val, 95..99 test
 
+# The split bucket as a DuckDB expression over `documents` (reused by the
+# text_contamination oracle so both keys pin the SAME split).
+_SPLIT_BUCKET_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1))"
+    f" - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+) + ") % 100"
+
+
+def _split_bucket_col():
+    """The split bucket as a Spark Column (mirrors _SPLIT_BUCKET_SQL)."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    ).cast("int")
+
 
 @register(
     "text_split",
     sql=f"""
     WITH t AS (
-      SELECT doc_id,
-             CAST(({" + ".join(
-                 f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-                 f" * {16 ** (3 - i)}"
-                 for i in range(4)
-             )}) % 100 AS INT) AS split_bucket
+      SELECT doc_id, CAST({_SPLIT_BUCKET_SQL} AS INT) AS split_bucket
       FROM documents
     )
     SELECT doc_id, split_bucket,
@@ -374,10 +385,7 @@ SPLIT_VAL_PCT = 95    # 90..94 val, 95..99 test
     ),
 )
 def text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint") % 100
-    ).cast("int")
+    b = _split_bucket_col()
     return load(spark, sf_dir, "documents").select(
         "doc_id",
         b.alias("split_bucket"),
@@ -478,4 +486,152 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"prefix DIV {PACK_CAPACITY}").alias("shard_id"),
             F.expr(f"prefix % {PACK_CAPACITY}").alias("shard_offset"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filtering + train/test decontamination.
+# ---------------------------------------------------------------------------
+
+CONTAM_K = 5  # token-shingle width for contamination matching
+
+
+@register(
+    "text_repetition",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, length(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(length(toks) AS INT) AS n_tokens,
+           CAST(list_max(list_transform(list_distinct(toks),
+                  t -> length(list_filter(toks, x -> x = t)))) AS DOUBLE)
+             / length(toks) AS top_token_frac,
+           CAST(length(bigrams) AS INT) AS n_bigrams,
+           CAST(length(bigrams) - length(list_distinct(bigrams)) AS DOUBLE)
+             / greatest(length(bigrams), 1) AS dup_bigram_frac,
+           CAST(list_max(list_transform(list_distinct(bigrams),
+                  t -> length(list_filter(bigrams, x -> x = t)))) AS DOUBLE)
+             / greatest(length(bigrams), 1) AS max_bigram_frac
+    FROM b
+    """,
+    doc=(
+        "Repetition features (the Gopher-style repetition filter): most-"
+        "frequent-token fraction, duplicate-bigram fraction, most-frequent-"
+        "bigram fraction. Pure per-row array expressions — O(len^2) bounded "
+        "by the document length cap, NO shuffle and no explode blow-up; at "
+        "100 TB this runs at scan speed like the other text features."
+    ),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # DuckDB list indexing is 1-based; Spark element_at matches it exactly.
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+    )
+    max_freq = lambda arr: F.array_max(  # noqa: E731
+        F.transform(
+            F.array_distinct(arr),
+            lambda t: F.size(F.filter(arr, lambda x: x == t)),
+        )
+    )
+    return (
+        docs.withColumn("bigrams", bigrams)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            (
+                max_freq(F.col("toks")).cast("double") / F.size("toks")
+            ).alias("top_token_frac"),
+            F.size("bigrams").alias("n_bigrams"),
+            (
+                (F.size("bigrams") - F.size(F.array_distinct("bigrams"))).cast("double")
+                / F.greatest(F.size("bigrams"), F.lit(1))
+            ).alias("dup_bigram_frac"),
+            (
+                max_freq(F.col("bigrams")).cast("double")
+                / F.greatest(F.size("bigrams"), F.lit(1))
+            ).alias("max_bigram_frac"),
+        )
+    )
+
+
+@register(
+    "text_contamination",
+    sql=f"""
+    WITH split AS (
+      SELECT doc_id, text, {_SPLIT_BUCKET_SQL} AS b FROM documents
+    ), sh AS (
+      SELECT doc_id, b, unnest(list_distinct(
+               list_transform(range(1, length(string_split(text, ' ')) - {CONTAM_K - 2}),
+                 i -> array_to_string(string_split(text, ' ')[i : i + {CONTAM_K - 1}], ' '))
+             )) AS shingle
+      FROM split
+    ), test_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE b >= {SPLIT_VAL_PCT}
+    ), hits AS (
+      SELECT s.doc_id, count(*) AS shared_shingles
+      FROM sh s JOIN test_sh t USING (shingle)
+      WHERE s.b < {SPLIT_TRAIN_PCT}
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.shared_shingles, 0) AS BIGINT) AS shared_shingles,
+           coalesce(h.shared_shingles, 0) > 0 AS contaminated
+    FROM split d LEFT JOIN hits h USING (doc_id)
+    WHERE d.b < {SPLIT_TRAIN_PCT}
+    """,
+    doc=(
+        f"Train/test decontamination: a train document is contaminated when "
+        f"it shares a {CONTAM_K}-token shingle with ANY test-split document "
+        "(the split is text_split's own md5 bucket — the two keys pin the "
+        "same assignment). Per-doc-distinct shingles bound the join input; "
+        "the shingle equi-join shuffles ONLY the shingle stream (never "
+        "document text), and neither side is assumed broadcastable — at "
+        "100 TB the test corpus is itself large."
+    ),
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks"), _split_bucket_col().alias("b")
+    )
+    # DuckDB's list slice l[i : i+k-1] keeps elements i..i+k-1 INCLUSIVE
+    # (1-based); Spark's slice(arr, i, k) takes k elements from position i —
+    # the same window.
+    sh = docs.select(
+        "doc_id",
+        "b",
+        F.explode(
+            F.array_distinct(
+                # NB sequence(1, 0) counts DOWN in Spark (DuckDB's range is
+                # empty) — guard docs shorter than the shingle width.
+                F.expr(
+                    f"if(size(toks) >= {CONTAM_K},"
+                    f" transform(sequence(1, size(toks) - {CONTAM_K - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {CONTAM_K}))),"
+                    " array())"
+                )
+            )
+        ).alias("shingle"),
+    )
+    test_sh = sh.where(F.col("b") >= SPLIT_VAL_PCT).select("shingle").distinct()
+    train_sh = sh.where(F.col("b") < SPLIT_TRAIN_PCT)
+    hits = (
+        train_sh.join(test_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    train_docs = docs.where(F.col("b") < SPLIT_TRAIN_PCT).select("doc_id")
+    return train_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("shared_shingles", F.lit(0)).cast("bigint").alias("shared_shingles"),
+        (F.coalesce("shared_shingles", F.lit(0)) > 0).alias("contaminated"),
     )

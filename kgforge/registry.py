@@ -167,12 +167,17 @@ _ORDER: list[str] = [
     "sink_compact",
     "text_split",
     "text_pack",
+    "text_repetition",
+    "text_contamination",
 ]
 
 # Keys registered after the round's window rotation: exempt from the
 # "past-window keys must be round-2 green" lint (they had no prior driver
 # coverage to lose) and first in line for the next rotation.
-POST_ROTATION_NEW = {"sink_compact", "text_split", "text_pack"}
+POST_ROTATION_NEW = {
+    "sink_compact", "text_split", "text_pack",
+    "text_repetition", "text_contamination",
+}
 
 
 def all_ops() -> dict[str, OpSpec]:

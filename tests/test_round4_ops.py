@@ -186,3 +186,54 @@ def test_text_split_fractions_stable(spark):
     again = {r["doc_id"]: r["split"] for r in text.text_split(spark, SF_TINY).collect()}
     first = {r["doc_id"]: r["split"] for r in df.collect()}
     assert first == again
+
+
+def test_text_repetition_hand_fixture(spark, tmp_path):
+    root = tmp_path / "rep"
+    root.mkdir()
+    spark.createDataFrame(
+        [(1, "a a a b", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(root / "documents.parquet"))
+    [r] = text.text_repetition(spark, str(root)).collect()
+    assert r.n_tokens == 4
+    assert r.top_token_frac == pytest.approx(3 / 4)
+    # bigrams: "a a", "a a", "a b"
+    assert r.n_bigrams == 3
+    assert r.dup_bigram_frac == pytest.approx(1 / 3)
+    assert r.max_bigram_frac == pytest.approx(2 / 3)
+
+
+def test_text_contamination_matches_pure_python(spark):
+    """Independent reimplementation: recompute buckets, shingles, and shared
+    counts in pure Python over the same parquet and compare exactly."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(SF_TINY + "/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    K = text.CONTAM_K
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + K]) for i in range(len(toks) - K + 1)}
+
+    test_sh = set()
+    for d, t in docs:
+        if bucket(d) >= text.SPLIT_VAL_PCT:
+            test_sh |= shingles(t)
+    expected = {
+        d: len(shingles(t) & test_sh)
+        for d, t in docs
+        if bucket(d) < text.SPLIT_TRAIN_PCT
+    }
+    got = {
+        r.doc_id: r.shared_shingles
+        for r in text.text_contamination(spark, SF_TINY).collect()
+    }
+    assert got == expected
+    assert any(v > 0 for v in expected.values())  # fixture actually exercises hits
