@@ -56,6 +56,8 @@ HEADLINE = [
     "text_quality",       # text quality scoring
     "text_lm_score",      # conditional trigram LM quality score
     "text_langid",        # marker-overlap language ID
+    "text_pack",          # token-budget shard packing (distributed scan)
+    "text_contamination",  # train/test shingle decontamination
     "mm_features",        # Arrow-batched binary decode plumbing
     "udf_extract_conv",   # grouped-map conversation fingerprint
     "stream_tumble_batch",  # windowed agg (batch mirror of streaming)

@@ -62,6 +62,23 @@ NOTES = {
         "bounded-key model aggregations and the final per-doc aggregate — "
         "the corpus-sized trigram stream itself never shuffles."
     ),
+    "text_pack": (
+        "Token-budget shard packing as a two-phase distributed scan: the "
+        "ONLY Window is partitioned by pack_bucket (256 md5-prefix buckets "
+        "— no global ORDER BY window funneling the corpus through one "
+        "task; plan-asserted in tests/test_round4_ops.py); the bucket-"
+        "offset table (<=256 rows by construction) re-enters under a "
+        "BroadcastExchange."
+    ),
+    "text_contamination": (
+        "Decontamination: per-doc-distinct shingles from ONE Generate per "
+        "side; the shingle equi-join carries NO broadcast hint — at bench "
+        "scale Catalyst broadcasts the small distinct test-shingle side "
+        "(shown below), at 100 TB statistics push it to a shuffle join "
+        "automatically; per-doc-distinct shingles bound the join input "
+        "either way, and the hit counts collapse in a partial/final "
+        "aggregate on doc_id."
+    ),
 }
 
 def main():
