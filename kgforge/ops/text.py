@@ -460,12 +460,17 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pack_key")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    docs = docs.withColumn(
+    # The tokenized cut feeds TWO consumers (the totals probe below and the
+    # returned windowed plan) — persist at the reuse boundary or the corpus
+    # is tokenized twice (no cross-branch CSE in Catalyst). The probe reads
+    # the PRE-window cut so it never pays for the per-bucket sort.
+    cut = docs.persist()
+    docs = cut.withColumn(
         "local_prefix",
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
     )
     # ≤ PACK_BUCKETS rows by construction — the driver never sees doc rows.
-    totals = docs.groupBy("pack_bucket").agg(
+    totals = cut.groupBy("pack_bucket").agg(
         F.sum("n_tokens").alias("bucket_total")
     ).collect()
     offsets, running = [], 0
@@ -515,8 +520,8 @@ CONTAM_K = 5  # token-shingle width for contamination matching
            CAST(length(bigrams) AS INT) AS n_bigrams,
            CAST(length(bigrams) - length(list_distinct(bigrams)) AS DOUBLE)
              / greatest(length(bigrams), 1) AS dup_bigram_frac,
-           CAST(list_max(list_transform(list_distinct(bigrams),
-                  t -> length(list_filter(bigrams, x -> x = t)))) AS DOUBLE)
+           CAST(coalesce(list_max(list_transform(list_distinct(bigrams),
+                  t -> length(list_filter(bigrams, x -> x = t)))), 0) AS DOUBLE)
              / greatest(length(bigrams), 1) AS max_bigram_frac
     FROM b
     """,
@@ -533,9 +538,13 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("toks")
     )
     # DuckDB list indexing is 1-based; Spark element_at matches it exactly.
+    # NB sequence(1, 0) counts DOWN in Spark (DuckDB's range is empty) and
+    # element_at then throws on index 0 — guard single-token documents.
     bigrams = F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+        "if(size(toks) >= 2,"
+        " transform(sequence(1, size(toks) - 1),"
+        " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))),"
+        " array())"
     )
     max_freq = lambda arr: F.array_max(  # noqa: E731
         F.transform(
@@ -557,7 +566,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.greatest(F.size("bigrams"), F.lit(1))
             ).alias("dup_bigram_frac"),
             (
-                max_freq(F.col("bigrams")).cast("double")
+                F.coalesce(max_freq(F.col("bigrams")), F.lit(0)).cast("double")
                 / F.greatest(F.size("bigrams"), F.lit(1))
             ).alias("max_bigram_frac"),
         )

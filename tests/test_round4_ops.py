@@ -192,16 +192,23 @@ def test_text_repetition_hand_fixture(spark, tmp_path):
     root = tmp_path / "rep"
     root.mkdir()
     spark.createDataFrame(
-        [(1, "a a a b", "en", "s", 7)],
+        [(1, "a a a b", "en", "s", 7), (2, "hello", "en", "s", 5)],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.parquet(str(root / "documents.parquet"))
-    [r] = text.text_repetition(spark, str(root)).collect()
+    by_id = {r.doc_id: r for r in text.text_repetition(spark, str(root)).collect()}
+    r = by_id[1]
     assert r.n_tokens == 4
     assert r.top_token_frac == pytest.approx(3 / 4)
     # bigrams: "a a", "a a", "a b"
     assert r.n_bigrams == 3
     assert r.dup_bigram_frac == pytest.approx(1 / 3)
     assert r.max_bigram_frac == pytest.approx(2 / 3)
+    # single-token doc: Spark sequence(1, 0) counts DOWN — must not throw,
+    # must agree with DuckDB's empty range
+    s = by_id[2]
+    assert s.n_tokens == 1 and s.n_bigrams == 0
+    assert s.top_token_frac == pytest.approx(1.0)
+    assert s.dup_bigram_frac == 0.0 and s.max_bigram_frac == 0.0
 
 
 def test_text_contamination_matches_pure_python(spark):
