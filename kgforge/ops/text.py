@@ -340,7 +340,10 @@ PACK_CAPACITY = 4096  # token budget per training shard
 # Scan fan-out for the distributed prefix sum: the first md5 byte. The bucket
 # value is MONOTONE in the md5 hex key (a lexicographic prefix), so
 # (bucket asc, key asc) equals the global key order — that is what lets
-# per-bucket local scans compose into the exact global scan.
+# per-bucket local scans compose into the exact global scan. This is the
+# SCALE DIAL: each bucket sorts in one task, so widen the prefix as the
+# corpus grows (2 hex chars → 256 buckets, 3 → 4096, 4 → 65536) — the
+# driver-side offset scan stays bucket-count-bounded, never data-bounded.
 PACK_BUCKETS = 256
 
 SPLIT_TRAIN_PCT = 90  # 0..89 train
