@@ -892,6 +892,70 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_grouping_sets",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           COUNT(*) AS n, {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc=(
+        "Explicit GROUPING SETS (the rollup/cube pane's general form) with "
+        "grouping_id — gid disambiguates an aggregated-out dimension from a "
+        "natural NULL, the standard trick rollup consumers rely on. Same "
+        "expand-then-aggregate physical shape as rollup/cube: one Expand "
+        "node, partial+final hash aggregate, one Exchange."
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_approx_quantile",
+    sql="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS qty_p50_exact,
+           TRUE AS sketch_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Approximate percentile sketch with an accuracy CONTRACT (the "
+        "agg_approx HLL pattern): emit the exact interpolated median plus a "
+        "boolean asserting percentile_approx(accuracy=10000, rank error "
+        "<= 1e-4) landed between the exact p45/p55 — the oracle computes "
+        "the exact value and asserts TRUE, so a sketch regression breaks "
+        "the value hash. The sketch (KLL-style, mergeable) is the "
+        "single-pass scale path; exact percentiles (agg_quantile) need a "
+        "full sort per group."
+    ),
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_p50_exact"),
+        F.expr("percentile_approx(l_quantity, 0.5, 10000)").alias("_approx"),
+        F.expr("percentile(l_quantity, 0.45)").alias("_lo"),
+        F.expr("percentile(l_quantity, 0.55)").alias("_hi"),
+    )
+    return g.select(
+        "l_returnflag",
+        "qty_p50_exact",
+        (
+            (F.col("_approx") >= F.col("_lo")) & (F.col("_approx") <= F.col("_hi"))
+        ).alias("sketch_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch sessionization (round 3) — the lag-gap formulation of sessions, the
 # classic SQL sibling of the streaming pane's session_window key.

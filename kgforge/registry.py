@@ -169,6 +169,8 @@ _ORDER: list[str] = [
     "text_pack",
     "text_repetition",
     "text_contamination",
+    "agg_grouping_sets",
+    "agg_approx_quantile",
 ]
 
 # Keys registered after the round's window rotation: exempt from the
@@ -177,6 +179,7 @@ _ORDER: list[str] = [
 POST_ROTATION_NEW = {
     "sink_compact", "text_split", "text_pack",
     "text_repetition", "text_contamination",
+    "agg_grouping_sets", "agg_approx_quantile",
 }
 
 
