@@ -244,3 +244,22 @@ def test_text_contamination_matches_pure_python(spark):
     }
     assert got == expected
     assert any(v > 0 for v in expected.values())  # fixture actually exercises hits
+
+
+def test_sharding_ops_on_empty_and_single_doc_corpus(spark, tmp_path):
+    """Degenerate corpora must not throw: empty table, and one document
+    (whose test split is empty, so contamination sees no test shingles)."""
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    for rows in ([], [(1, "solo doc here", "en", "s", 13)]):
+        root = tmp_path / f"c{len(rows)}"
+        root.mkdir()
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(root / "documents.parquet")
+        )
+        for fn in (
+            text.text_split,
+            text.text_pack,
+            text.text_repetition,
+            text.text_contamination,
+        ):
+            fn(spark, str(root)).collect()
