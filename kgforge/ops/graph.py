@@ -728,3 +728,98 @@ def graph_triangles_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("triangles") > 0)
     )
+
+
+# ------------------------------------------------------------------ k-core
+KCORE_PCT = 0.10   # K = floor(p10 of the degree distribution) — data-derived
+KCORE_ROUNDS = 3   # bounded peeling rounds (exact k-core = the fixpoint)
+
+
+def _kcore_round_sql(prev_e: str, prev_d: str, nxt_e: str, nxt_d: str) -> str:
+    """One unrolled peeling round as DuckDB CTEs: drop nodes whose degree in
+    the surviving graph is below K, restrict the edge set to survivors."""
+    return f"""
+    {nxt_e} AS (
+      SELECT u, v FROM {prev_e}
+      WHERE u IN (SELECT u FROM {prev_d} WHERE deg >= (SELECT k FROM kk))
+        AND v IN (SELECT u FROM {prev_d} WHERE deg >= (SELECT k FROM kk))
+    ),
+    {nxt_d} AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS deg FROM {nxt_e} GROUP BY u
+    )"""
+
+
+@register(
+    "graph_kcore",
+    sql="WITH " + _BASKET_CTE + f""",
+    ke0 AS (SELECT u, v FROM adj2),
+    kd0 AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM ke0 GROUP BY u),
+    kk AS (SELECT CAST(floor(quantile_cont(deg, {KCORE_PCT})) AS BIGINT) AS k
+           FROM kd0),
+    {",".join(
+        _kcore_round_sql(f"ke{i}", f"kd{i}", f"ke{i + 1}", f"kd{i + 1}")
+        for i in range(KCORE_ROUNDS)
+    )}
+    SELECT u AS part_id, deg FROM kd{KCORE_ROUNDS}
+    """,
+    doc=(
+        f"Bounded k-core peeling over the co-ordered parts graph: K = "
+        f"floor(p{int(KCORE_PCT * 100)} of the degree distribution) — "
+        f"data-derived so the cut scales with the corpus — then "
+        f"{KCORE_ROUNDS} rounds of drop-degree-below-K, emitting the "
+        "surviving nodes with their in-core degrees. Each round is one "
+        "hash aggregate + two semi-joins on the (shrinking) edge set — "
+        "O(rounds) shuffles, the PageRank/BFS iterative shape; the exact "
+        "k-core is the peeling fixpoint, approached monotonically from "
+        "above. The percentile is one exact-percentile aggregate (the "
+        "mergeable-sketch scale path is agg_approx_quantile's contract)."
+    ),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = coorder_part_edges(spark, sf_dir)
+    return kcore_peel(und)
+
+
+def kcore_peel(
+    und: DataFrame, pct: float = KCORE_PCT, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Peel ``und(a, b)`` (distinct undirected edges) → (part_id, deg).
+
+    Scale notes: the edge cut persists per round (each round's set feeds a
+    degree aggregate AND the next round's two semi-joins — no cross-branch
+    CSE) and shrinks monotonically; the K scalar is ONE driver-side row
+    (bounded by construction), inlined as a literal so every round's filter
+    is a plain predicate, not a join against a 1-row table.
+    """
+    from pyspark.sql import functions as F
+
+    # Each round's edge set feeds the NEXT round TWICE (the degree-aggregate
+    # branch that decides who survives AND the semi-join input) — the BFS/CC
+    # replay trap: without cutting lineage per round the plan re-derives
+    # every prior round 2x per branch. localCheckpoint (eager) materializes
+    # the shrinking edge cut and truncates the plan, exactly as in
+    # bfs_distances / the CC fixpoint (measured here: 46s -> seconds at
+    # sf0.001).
+    e = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # one row to the driver — percentile() here matches DuckDB quantile_cont
+    # bit-for-bit (the agg_quantile precedent)
+    k = int(
+        deg.select(
+            F.floor(F.expr(f"percentile(deg, {pct})")).cast("bigint")
+        ).collect()[0][0]
+    )
+    for _ in range(rounds):
+        alive = deg.where(F.col("deg") >= k).select("u")
+        e = (
+            e.join(alive, "u", "semi")
+            .join(alive.withColumnRenamed("u", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        deg = e.groupBy("u").agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
+        )
+    return deg.select(F.col("u").alias("part_id"), "deg")

@@ -171,6 +171,7 @@ _ORDER: list[str] = [
     "text_contamination",
     "agg_grouping_sets",
     "agg_approx_quantile",
+    "graph_kcore",
 ]
 
 # Keys registered after the round's window rotation: exempt from the
@@ -179,7 +180,7 @@ _ORDER: list[str] = [
 POST_ROTATION_NEW = {
     "sink_compact", "text_split", "text_pack",
     "text_repetition", "text_contamination",
-    "agg_grouping_sets", "agg_approx_quantile",
+    "agg_grouping_sets", "agg_approx_quantile", "graph_kcore",
 }
 
 

@@ -143,3 +143,23 @@ def test_triangles_cdc_equals_rebuild(spark):
         for r in graph.graph_triangles_cdc(spark, sf).collect()
     }
     assert got == want and got
+
+
+def test_kcore_peels_path_keeps_cycle(spark):
+    """P4 path (a-b-c-d) + C4 cycle (w-x-y-z) at K = median degree = 2:
+    round 1 peels the path's endpoints, round 2 the rest of the path (their
+    degrees fell to 1); the cycle is a true 2-core and survives unchanged."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("w", "x"), ("x", "y"), ("y", "z"), ("w", "z")]
+    und = spark.createDataFrame(edges, "a string, b string")
+    got = {r.part_id: r.deg for r in graph.kcore_peel(und, pct=0.5).collect()}
+    assert got == {"w": 2, "x": 2, "y": 2, "z": 2}
+
+
+def test_kcore_stable_graph_is_fixpoint(spark):
+    """A graph already at its core (C4, K=2) must pass through peeling
+    unchanged — rounds beyond convergence are no-ops."""
+    edges = [("w", "x"), ("x", "y"), ("y", "z"), ("w", "z")]
+    und = spark.createDataFrame(edges, "a string, b string")
+    got = {r.part_id: r.deg for r in graph.kcore_peel(und, pct=0.5, rounds=5).collect()}
+    assert got == {"w": 2, "x": 2, "y": 2, "z": 2}

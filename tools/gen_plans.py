@@ -70,6 +70,14 @@ NOTES = {
         "offset table (<=256 rows by construction) re-enters under a "
         "BroadcastExchange."
     ),
+    "graph_kcore": (
+        "Bounded k-core peeling: each round is one hash aggregate + two "
+        "semi-joins over the round's localCheckpoint'd edge cut (the cut "
+        "feeds the next round twice — degree branch + join input — so "
+        "lineage is truncated per round, the BFS/CC replay lesson; the "
+        "printed plan therefore starts from the final checkpointed RDD). "
+        "The K scalar is one driver-side row inlined as a literal."
+    ),
     "text_contamination": (
         "Decontamination: per-doc-distinct shingles from ONE Generate per "
         "side; the shingle equi-join carries NO broadcast hint — at bench "
