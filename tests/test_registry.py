@@ -29,51 +29,75 @@ def test_all_ops_iterates_in_curated_order():
     assert list(registry.all_ops()) == registry._ORDER
 
 
-def test_driver_window_covers_round3_targets():
-    """Round-3 rotation contract: the upgraded oracles the driver has never
-    hash-checked, every key whose implementation changed this round, and the
-    keys last driver-checked in round 1 must all sit inside the first 50."""
+def test_driver_window_covers_round4_targets():
+    """Round-4 rotation contract (VERDICT r03 #1): the eight keys registered
+    after round 3's window was certified, the rewritten dedup_minhash, and
+    every key whose implementation changes in round 4 must all sit inside
+    the first 50 so CORRECTNESS_r04 gives each a current-code driver row."""
     window = set(registry._ORDER[:50])
     must_be_windowed = {
-        # oracles upgraded late in round 2, zero driver hash-checks so far
-        "scan_snapshot", "sink_merge", "agg_approx",
-        # implementation changed in round 3
-        "sim_topk_cosine", "dedup_embed_cosine", "sim_lsh_cosine",
+        # registered post-rotation in round 3 — zero driver rows so far
+        "sink_compact", "text_split", "text_pack", "text_repetition",
+        "text_contamination", "agg_grouping_sets", "agg_approx_quantile",
+        "graph_kcore",
+        # rewritten in round 3 (minhash_pairs memoization) after its only
+        # driver row (r02) — needs a current-code row
+        "dedup_minhash",
+        # implementation changes in round 4 (manifest-derived dedup sizing)
         "pipe_triples",
-        # NEW in round 3 — no prior driver row exists
-        "scan_cdc", "pipe_incremental", "graph_pagerank", "dedup_clusters",
-        "graph_triangles", "graph_jaccard", "graph_bfs", "win_sessionize",
-        "sim_lsh_multiprobe", "text_lm_score",
-        # late round 3: oracle upgraded (rows-only -> unrolled-Lloyd full)
-        # resp. brand-new — a green r02 rows-only row must NOT satisfy the
-        # past-window lint for these; they need current-code driver rows
-        "sim_ivf_cosine", "graph_triangles_cdc",
-        # last driver-checked in round 1 (re-certify on current code)
-        "join_smj", "join_shj", "join_left", "join_semi", "join_anti",
-        "join_range", "join_cross", "agg_distinct", "agg_collect",
-        "fn_string", "fn_time", "fn_math", "fn_cond", "fn_array", "fn_map",
-        "fn_json", "fn_hash", "win_lag", "win_range", "win_analytic",
-        "topk_global",
     }
     missing = must_be_windowed - window
     assert not missing, f"keys outside the driver's 50-key window: {sorted(missing)}"
 
 
-def test_keys_past_window_are_round2_green():
-    """Everything past the 50-key window must hold a green CORRECTNESS_r02
-    row (and be unchanged this round) — no key ever loses driver coverage."""
-    import json
-    import os
+def test_keys_past_window_are_certified_unchanged():
+    """Generic re-certification lint (VERDICT r03 #10): every key past the
+    50-key window must (a) hold a green driver row from some past round —
+    recorded in kgforge/certified.json by tools/gen_certified.py — AND (b)
+    have a source fingerprint identical to the one recorded at
+    certification time. The fingerprint hashes the registered fn, its
+    oracle SQL, and transitively every kgforge-internal helper + UPPER_CASE
+    dial it references, so rewriting a shared helper (the round-3
+    dedup_minhash gap) re-fingerprints every dependent key and fails this
+    lint until the key is rotated into the window."""
+    from kgforge import certify
 
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r02.json")
-    with open(path) as f:
-        r02 = json.load(f)
+    certified = certify.load_certified()
+    fps = certify.current_fingerprints()
+    problems = []
     for key in registry._ORDER[50:]:
         if key in registry.POST_ROTATION_NEW:
             continue  # registered post-rotation: no prior coverage to lose
-        row = r02.get(key)
-        assert row is not None, f"{key} past window with no r02 row"
+        ent = certified.get(key)
+        if ent is None:
+            problems.append(f"{key}: past window with no certified driver row")
+        elif ent["fp"] != fps[key]:
+            problems.append(
+                f"{key}: source changed since its {ent['round']} driver row "
+                "— rotate it into the window (registry._ORDER[:50]) or "
+                "revert the change"
+            )
+    assert not problems, "\n".join(problems)
+
+
+def test_certified_rounds_actually_green():
+    """certified.json's recorded rounds must be backed by real green rows
+    in the corresponding CORRECTNESS files (guards hand-edits)."""
+    import json
+    import os
+
+    from kgforge import certify
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    cache: dict[str, dict] = {}
+    for key, ent in certify.load_certified().items():
+        rnd = ent["round"]
+        if rnd not in cache:
+            with open(os.path.join(repo, f"CORRECTNESS_{rnd}.json")) as f:
+                cache[rnd] = json.load(f)
+        row = cache[rnd].get(key)
+        assert row is not None, f"{key}: no {rnd} row despite certification"
         ok = row.get("hash_match") is True or (
             row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0
         )
-        assert ok, f"{key} past window but r02 row not green: {row}"
+        assert ok, f"{key}: {rnd} row not green: {row}"
