@@ -771,13 +771,46 @@ def _kcore_round_sql(prev_e: str, prev_d: str, nxt_e: str, nxt_d: str) -> str:
         "hash aggregate + two semi-joins on the (shrinking) edge set — "
         "O(rounds) shuffles, the PageRank/BFS iterative shape; the exact "
         "k-core is the peeling fixpoint, approached monotonically from "
-        "above. The percentile is one exact-percentile aggregate (the "
-        "mergeable-sketch scale path is agg_approx_quantile's contract)."
+        "above. K comes from the bounded degree HISTOGRAM (distinct-degree "
+        "rows only — never the whole degree column in one aggregation "
+        "buffer), interpolated driver-side exactly as quantile_cont."
     ),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = coorder_part_edges(spark, sf_dir)
     return kcore_peel(und)
+
+
+def _histogram_percentile_floor(hist: list[tuple[int, int]], pct: float) -> int:
+    """floor(quantile_cont(pct)) over a (value, count) histogram.
+
+    Exactly DuckDB's quantile_cont / Spark's percentile(): with the n values
+    sorted ascending, h = (n-1)*pct, result = x[floor(h)] + (h - floor(h)) *
+    (x[floor(h)+1] - x[floor(h)]) — evaluated in IEEE doubles here just as
+    both engines evaluate it, then floored. Empty histogram → 0 (a K of 0
+    peels nothing, matching the oracle's empty output on an empty edge set —
+    previously this raised TypeError on the NULL percentile; ADVICE r03)."""
+    import math
+
+    buckets = sorted(hist)
+    n = sum(c for _, c in buckets)
+    if n == 0:
+        return 0
+    h = (n - 1) * pct
+    i = math.floor(h)
+    frac = h - i
+
+    def value_at(idx: int) -> int:
+        cum = 0
+        for d, c in buckets:
+            cum += c
+            if idx < cum:
+                return d
+        return buckets[-1][0]
+
+    lo = value_at(i)
+    hi = value_at(i + 1) if frac > 0.0 else lo
+    return math.floor(lo + frac * (hi - lo))
 
 
 def kcore_peel(
@@ -787,9 +820,10 @@ def kcore_peel(
 
     Scale notes: the edge cut persists per round (each round's set feeds a
     degree aggregate AND the next round's two semi-joins — no cross-branch
-    CSE) and shrinks monotonically; the K scalar is ONE driver-side row
-    (bounded by construction), inlined as a literal so every round's filter
-    is a plain predicate, not a join against a 1-row table.
+    CSE) and shrinks monotonically; K is derived from the degree histogram
+    (driver collect bounded by the distinct-degree count, ≤ max degree) and
+    inlined as a literal so every round's filter is a plain predicate, not
+    a join against a 1-row table.
     """
     from pyspark.sql import functions as F
 
@@ -804,12 +838,19 @@ def kcore_peel(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     ).localCheckpoint()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    # one row to the driver — percentile() here matches DuckDB quantile_cont
-    # bit-for-bit (the agg_quantile precedent)
-    k = int(
-        deg.select(
-            F.floor(F.expr(f"percentile(deg, {pct})")).cast("bigint")
-        ).collect()[0][0]
+    # K from the DEGREE HISTOGRAM, not an ungrouped exact percentile: Spark's
+    # percentile() buffers every input value in one aggregation state, so at
+    # billions of nodes the final merge holds the whole degree column on one
+    # reducer. groupBy(deg).count() is a map-side-combining hash aggregate
+    # whose output is bounded by the number of DISTINCT degree values (≤ max
+    # degree, empirically O(sqrt(E)) under skewed graphs) — that bounded
+    # histogram comes to the driver and the exact quantile_cont interpolation
+    # runs here in the same IEEE-double arithmetic both engines use, so K is
+    # bit-identical to DuckDB's floor(quantile_cont(deg, pct)).
+    k = _histogram_percentile_floor(
+        [(r["deg"], r["n"]) for r in
+         deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n")).collect()],
+        pct,
     )
     for _ in range(rounds):
         alive = deg.where(F.col("deg") >= k).select("u")

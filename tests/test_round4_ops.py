@@ -248,7 +248,12 @@ def test_text_contamination_matches_pure_python(spark):
 
 def test_sharding_ops_on_empty_and_single_doc_corpus(spark, tmp_path):
     """Degenerate corpora must not throw: empty table, and one document
-    (whose test split is empty, so contamination sees no test shingles)."""
+    (whose test split is empty, so contamination sees no test shingles).
+    graph_kcore joins the loop per ADVICE r03: its K derivation used to
+    raise TypeError on the NULL percentile of an empty edge set — now the
+    empty histogram yields K=0 and an empty result, like the oracle."""
+    from kgforge.ops import graph
+
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     for rows in ([], [(1, "solo doc here", "en", "s", 13)]):
         root = tmp_path / f"c{len(rows)}"
@@ -256,10 +261,42 @@ def test_sharding_ops_on_empty_and_single_doc_corpus(spark, tmp_path):
         spark.createDataFrame(rows, schema).write.parquet(
             str(root / "documents.parquet")
         )
+        # graph_kcore reads the lineitem co-order graph — give it an edge-free
+        # table so the K derivation sees an EMPTY degree histogram
+        spark.createDataFrame(
+            [], "l_orderkey long, l_partkey long"
+        ).write.parquet(str(root / "lineitem.parquet"))
         for fn in (
             text.text_split,
             text.text_pack,
             text.text_repetition,
             text.text_contamination,
+            graph.graph_kcore,
         ):
             fn(spark, str(root)).collect()
+
+
+def test_histogram_percentile_matches_engine_percentile(spark):
+    """The driver-side quantile_cont interpolation over a histogram must be
+    bit-identical to Spark's exact percentile() (and therefore to DuckDB's
+    quantile_cont — the agg_quantile precedent) for every n and several
+    skewed shapes, including n where (n-1)*pct is integral/fractional."""
+    import math
+    import random
+
+    from kgforge.ops.graph import _histogram_percentile_floor
+
+    rng = random.Random(7)
+    for pct in (0.10, 0.25, 0.5, 0.9):
+        for trial in range(12):
+            n = rng.randrange(1, 40)
+            vals = [rng.randrange(1, 8) for _ in range(n)]  # heavy ties
+            hist: dict[int, int] = {}
+            for v in vals:
+                hist[v] = hist.get(v, 0) + 1
+            got = _histogram_percentile_floor(list(hist.items()), pct)
+            want = spark.createDataFrame(
+                [(v,) for v in vals], "deg bigint"
+            ).selectExpr(f"floor(percentile(deg, {pct})) AS k").collect()[0][0]
+            assert got == int(want), (pct, vals, got, want)
+    assert _histogram_percentile_floor([], 0.10) == 0
