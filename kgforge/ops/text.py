@@ -503,12 +503,25 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAM_K = 5  # token-shingle width for contamination matching
 
+# text_repetition computes per-row distinct×length array expressions, i.e.
+# O(len²) work per document. Without a cap a single multi-megabyte document
+# becomes a straggler task doing ~10^10 element ops (VERDICT r03 #2) — the
+# features are computed over the first REP_MAX_TOKENS tokens, bounding
+# per-row work at REP_MAX_TOKENS² ≈ 10^6 element compares (~ms) regardless
+# of document size. The cap is mirrored in the oracle SQL (DuckDB's 1-based
+# inclusive slice l[1:N] == Spark's slice(l, 1, N); both return the whole
+# list when shorter). Prefix-based repetition features are the standard
+# bounded approximation (repetition is a global property; a 1k-token prefix
+# is a high-recall witness for the pathological repetition being filtered).
+REP_MAX_TOKENS = 1024
+
 
 @register(
     "text_repetition",
-    sql="""
+    sql=f"""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, (string_split(text, ' '))[1:{REP_MAX_TOKENS}] AS toks
+      FROM documents
     ), b AS (
       SELECT doc_id, toks,
              list_transform(range(1, length(toks)),
@@ -531,14 +544,16 @@ CONTAM_K = 5  # token-shingle width for contamination matching
     doc=(
         "Repetition features (the Gopher-style repetition filter): most-"
         "frequent-token fraction, duplicate-bigram fraction, most-frequent-"
-        "bigram fraction. Pure per-row array expressions — O(len^2) bounded "
-        "by the document length cap, NO shuffle and no explode blow-up; at "
+        "bigram fraction over the first REP_MAX_TOKENS tokens. Pure per-row "
+        "array expressions — per-row work ENFORCED ≤ REP_MAX_TOKENS² by the "
+        "prefix slice (both engines), NO shuffle and no explode blow-up; at "
         "100 TB this runs at scan speed like the other text features."
     ),
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
+        "doc_id",
+        F.slice(F.split("text", " "), 1, REP_MAX_TOKENS).alias("toks"),
     )
     # DuckDB list indexing is 1-based; Spark element_at matches it exactly.
     # NB sequence(1, 0) counts DOWN in Spark (DuckDB's range is empty) and

@@ -276,6 +276,51 @@ def test_sharding_ops_on_empty_and_single_doc_corpus(spark, tmp_path):
             fn(spark, str(root)).collect()
 
 
+def test_repetition_cap_bounds_pathological_doc(spark, tmp_path):
+    """VERDICT r03 #2: a multi-megabyte document must not make
+    text_repetition quadratic in the FULL document length. The fixture
+    plants one 50k-token doc next to normal ones; the cap must be active
+    (features computed over exactly REP_MAX_TOKENS tokens) and the Spark
+    output must still hash-match the DuckDB oracle — i.e. the cap is
+    mirrored, not Spark-only."""
+    import duckdb
+
+    root = tmp_path / "longdoc"
+    root.mkdir()
+    # pathological: 50k tokens of a 7-token cycle (worst-case repetition)
+    long_text = " ".join(f"t{i % 7}" for i in range(50_000))
+    rows = [
+        (1, "a normal short document with plain words", "en", "s", 41),
+        (2, long_text, "en", "s", len(long_text)),
+        (3, "x x x y", "en", "s", 7),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(root / "documents.parquet")
+    )
+
+    got = {r.doc_id: r.asDict() for r in text.text_repetition(spark, str(root)).collect()}
+    # cap active: the long doc's features were computed over the prefix
+    assert got[2]["n_tokens"] == text.REP_MAX_TOKENS
+    assert got[2]["top_token_frac"] == pytest.approx(147 / 1024)  # ceil cycle share
+    assert got[1]["n_tokens"] == 7
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{root}/documents.parquet/*.parquet')"  # Spark writes a directory
+    )
+    from kgforge.registry import all_ops
+
+    want = con.execute(all_ops()["text_repetition"].sql).fetchdf()
+    for _, w in want.iterrows():
+        g = got[w["doc_id"]]
+        for col in ("n_tokens", "n_bigrams"):
+            assert g[col] == w[col], (w["doc_id"], col)
+        for col in ("top_token_frac", "dup_bigram_frac", "max_bigram_frac"):
+            assert g[col] == pytest.approx(w[col], abs=0), (w["doc_id"], col)
+
+
 def test_histogram_percentile_matches_engine_percentile(spark):
     """The driver-side quantile_cont interpolation over a histogram must be
     bit-identical to Spark's exact percentile() (and therefore to DuckDB's
