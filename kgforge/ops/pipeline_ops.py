@@ -204,9 +204,11 @@ def pipe_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = triples.build_raw_triples(linked)
     cmap = corpus.derive_canonical_map(spark, sf_dir)
     remapped = canon.remap_triples(raw, cmap)
-    # linked rows scale ~linearly with document count (≈44/doc measured at
-    # sf0.01); decide the dedup shape from parquet footers — no count job
-    est_linked = corpus.n_docs(spark, sf_dir) * 44
+    # linked rows = docs × measured link density (a bounded pyarrow head
+    # sample — zero Spark jobs, like the footer row count); the constant-44
+    # round-3 estimate engaged the wrong strategy on corpora with different
+    # link density (VERDICT r03 #5)
+    est_linked = corpus.n_docs(spark, sf_dir) * corpus.est_links_per_doc(sf_dir)
     out = triples.dedup_triples(
         remapped, two_level=est_linked >= triples.TWO_LEVEL_MIN_ROWS
     ).persist()

@@ -104,37 +104,41 @@ _ORDER: list[str] = [
     "join_asof",
     "win_running",
     "mm_manifest",
-    # -- (d) six reserved slots for round-4 NEW keys, back-filled with
-    # cheap r03-green keys on unchanged code until each is claimed (a
-    # redundant re-check of an r03-green key is harmless; an unchecked new
-    # key is not)
+    # -- (d) flagged by the fingerprint lint: their closure includes
+    # pipe_triples, whose dedup-strategy sizing changed this round
+    # (est_links_per_doc). The change is perf-only — values proven
+    # identical by the local oracle — but the lint routes every closure
+    # change through the window rather than trusting that judgment.
+    "sink_merge",
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_bfs",
+    "graph_triangles_cdc",
+    # -- (e) one reserved slot for a round-4 NEW key, back-filled with a
+    # cheap r03-green key until claimed (a redundant re-check is harmless;
+    # an unchecked new key is not)
     "scan_project",
+    # ---- 50-key window boundary (driver cap observed in rounds 1-3) ----
+    # every key below holds a green CORRECTNESS_r03 row on code unchanged
+    # this round (certified.json pins the fingerprints)
+    "scan_snapshot",
+    "agg_approx",
     "explode_tokens",
     "fn_string",
     "fn_hash",
     "win_lag",
     "agg_distinct",
-    # ---- 50-key window boundary (driver cap observed in rounds 1-3) ----
-    # every key below holds a green CORRECTNESS_r03 row on code unchanged
-    # this round (certified.json pins the fingerprints)
-    "scan_snapshot",
-    "sink_merge",
-    "agg_approx",
     "sim_topk_cosine",
     "dedup_embed_cosine",
     "sim_lsh_cosine",
     "sim_ivf_cosine",
     "scan_cdc",
     "pipe_incremental",
-    "graph_pagerank",
     "dedup_clusters",
-    "graph_triangles",
     "graph_jaccard",
-    "graph_bfs",
     "win_sessionize",
     "sim_lsh_multiprobe",
     "text_lm_score",
-    "graph_triangles_cdc",
     "join_smj",
     "join_shj",
     "join_left",

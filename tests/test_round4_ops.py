@@ -321,6 +321,78 @@ def test_repetition_cap_bounds_pathological_doc(spark, tmp_path):
             assert g[col] == pytest.approx(w[col], abs=0), (w["doc_id"], col)
 
 
+def test_est_links_per_doc_tracks_density_and_gates_two_level(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r03 #5: dedup-strategy sizing must follow the MEASURED link
+    density, not the sf0.01-calibrated constant 44/doc. A corpus with ~10×
+    the qualifying-token density must (a) estimate ~10× links/doc, (b) flip
+    the two-level gate where the old constant would not, and (c) produce
+    identical triples either way (the gate is perf-only)."""
+    import random
+
+    from kgforge import corpus, triples
+    from kgforge.ops import pipeline_ops
+
+    rng = random.Random(11)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def mk(root, toks_per_doc):
+        root.mkdir()
+        rows = []
+        for i in range(40):
+            toks = [f"word{rng.randrange(300):04d}" for _ in range(toks_per_doc)]
+            t = " ".join(toks)
+            rows.append((i, t, "en", "s", len(t)))
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(root / "documents.parquet")
+        )
+
+    sparse, dense = tmp_path / "sparse", tmp_path / "dense"
+    mk(sparse, 44)
+    mk(dense, 440)
+
+    e_sparse = corpus.est_links_per_doc(str(sparse))
+    e_dense = corpus.est_links_per_doc(str(dense))
+    assert 35 <= e_sparse <= 50
+    assert 8 * e_sparse <= e_dense <= 12 * e_sparse
+
+    # gate: threshold between old-constant estimate (40*44=1760) and the
+    # measured one (40*440=17600) — the constant would pick single-level,
+    # the measurement must pick two-level
+    monkeypatch.setattr(triples, "TWO_LEVEL_MIN_ROWS", 5000)
+    captured = {}
+    real_dedup = triples.dedup_triples
+
+    def spy(df, two_level=True):
+        captured["two_level"] = two_level
+        return real_dedup(df, two_level=two_level)
+
+    monkeypatch.setattr(triples, "dedup_triples", spy)
+    got = pipeline_ops.pipe_triples(spark, str(dense)).collect()
+    assert captured["two_level"] is True
+    # perf-only: the single-level path yields the same triples
+    want = real_dedup(
+        __import__("kgforge.canon", fromlist=["remap_triples"]).remap_triples(
+            triples.build_raw_triples(
+                __import__("kgforge.link", fromlist=["link_mentions"]).link_mentions(
+                    __import__(
+                        "kgforge.extract", fromlist=["extract_mentions"]
+                    ).extract_mentions(
+                        corpus.derive_transcripts(spark, str(dense)),
+                        corpus.derive_dictionary(spark, str(dense)),
+                    ),
+                    corpus.derive_dictionary(spark, str(dense)),
+                )
+            ),
+            corpus.derive_canonical_map(spark, str(dense)),
+        ),
+        two_level=False,
+    ).collect()
+    key = lambda r: (r.subj, r.pred, r.obj, r.conv_id, r.turn_idx)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
 def test_histogram_percentile_matches_engine_percentile(spark):
     """The driver-side quantile_cont interpolation over a histogram must be
     bit-identical to Spark's exact percentile() (and therefore to DuckDB's
