@@ -63,9 +63,16 @@ def probe_mem(spark) -> float:
         n = (buf_mb << 20) // 8
         a = np.zeros(n)
         b = np.ones(n)
+        tmp = np.empty(n)
         for _ in range(sweeps):
-            # STREAM triad: 3 × buf_mb of DRAM traffic per sweep
-            a = b * 1.000001 + a
+            # STREAM triad IN PLACE (ADVICE r03): `a = b * k + a` allocates
+            # two fresh buffers per sweep, mixing page-fault/zero-fill
+            # traffic into the number; with preallocated out= targets each
+            # sweep is exactly read-b / read-a+read-tmp / write pressure —
+            # 3 × buf_mb of steady-state DRAM traffic, identical at both
+            # parallelism levels.
+            np.multiply(b, 1.000001, out=tmp)
+            np.add(tmp, a, out=a)
         yield __import__("pandas").DataFrame({"s": [float(a[0])]})
 
     df = spark.range(0, MEM_TASKS, 1, numPartitions=MEM_TASKS)
