@@ -344,28 +344,8 @@ class Warehouse:
         from pyspark.sql import functions as F
 
         affected = [r[0] for r in new_df.select(part_col).distinct().collect()]
-        if any(v is None for v in affected):
+        if self._scoped_guard(affected) is None:
             return None
-        # Hive-layout guard: Spark percent-escapes special characters when it
-        # writes partition directories, so a value whose str() differs from
-        # the escaped encoding would miss its directory below and the stale
-        # old partition dir would be hard-linked ALONGSIDE the rewritten one
-        # (duplicated rows). Restrict the scoped path to values whose
-        # directory encoding is the identity: integers and simple
-        # alphanumeric strings.
-        for v in affected:
-            if not isinstance(v, int) and not (
-                isinstance(v, str) and re.fullmatch(r"[0-9A-Za-z._-]+", v)
-            ):
-                return None
-        affected_dirs = {f"{part_col}={v}" for v in affected}
-
-        old_snap = self.latest_snapshot(table)
-        old_dir = os.path.join(self._tdir(table), old_snap)
-        old_part_dirs = [
-            e for e in os.listdir(old_dir)
-            if os.path.isdir(os.path.join(old_dir, e)) and e.startswith(f"{part_col}=")
-        ]
 
         existing_aff = self.read(spark, table).where(
             F.col(part_col).isin(affected)
@@ -374,12 +354,65 @@ class Warehouse:
         inserts = src.join(
             existing_aff.select(*keys), keys, "left_anti"
         )
-        merged_aff = existing_aff.unionByName(inserts).repartition(F.col(part_col))
+        merged_aff = existing_aff.unionByName(inserts)
+        return self._commit_partition_rewrite(
+            table, merged_aff, part_col, affected,
+            schema_str=new_df.schema.simpleString(),
+            meta={"merge_scope": sorted(str(v) for v in affected)},
+        )
+
+    @staticmethod
+    def _scoped_guard(affected: list) -> list | None:
+        """None when a partition value can't take the scoped path: NULL, or
+        a value whose Hive directory encoding could differ from str(value)
+        (Spark percent-escapes special characters, so a mismatch would
+        leave the stale old partition dir hard-linked ALONGSIDE the
+        rewritten one — duplicated rows). Integers and simple alphanumeric
+        strings are identity-encoded."""
+        import re
+
+        if any(v is None for v in affected):
+            return None
+        for v in affected:
+            if not isinstance(v, int) and not (
+                isinstance(v, str) and re.fullmatch(r"[0-9A-Za-z._-]+", v)
+            ):
+                return None
+        return affected
+
+    def _commit_partition_rewrite(
+        self,
+        table: str,
+        merged_aff: DataFrame,
+        part_col: str,
+        affected: list,
+        schema_str: str,
+        meta: dict | None = None,
+    ) -> str | None:
+        """Write ``merged_aff`` as the new content of the ``affected``
+        partitions, hard-link every other partition from the current
+        snapshot, and commit atomically. Shared tail of the scoped MERGE
+        and the scoped replace/upsert paths. Returns None (caller falls
+        back to a full rewrite) when Spark's written directory names don't
+        match the predicted encoding."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        affected_dirs = {f"{part_col}={v}" for v in affected}
+        old_snap = self.latest_snapshot(table)
+        old_dir = os.path.join(self._tdir(table), old_snap)
+        old_part_dirs = [
+            e for e in os.listdir(old_dir)
+            if os.path.isdir(os.path.join(old_dir, e)) and e.startswith(f"{part_col}=")
+        ]
 
         tdir = self._tdir(table)
         snap = self._next_snapshot_id(table)
         data_dir = os.path.join(tdir, snap)
-        merged_aff.write.mode("overwrite").partitionBy(part_col).parquet(data_dir)
+        merged_aff.repartition(F.col(part_col)).write.mode(
+            "overwrite"
+        ).partitionBy(part_col).parquet(data_dir)
 
         # Verify against the directories Spark ACTUALLY wrote: every written
         # partition dir must be one we predicted (same encoding), else the
@@ -417,10 +450,10 @@ class Warehouse:
             "snapshot_id": snap,
             "parent": old_snap,
             "rows": n_rows,
-            "schema": new_df.schema.simpleString(),
+            "schema": schema_str,
             "committed_at": time.time(),
             "partition_by": [part_col],
-            "merge_scope": sorted(str(v) for v in affected),
+            **(meta or {}),
         }
         with open(os.path.join(tdir, f"{snap}.manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -429,6 +462,44 @@ class Warehouse:
             f.write(snap)
         os.replace(tmp, self._latest_file(table))
         return snap
+
+    def replace_partitions_scoped(
+        self,
+        spark: SparkSession,
+        table: str,
+        content: DataFrame,
+        part_col: str,
+        affected: list,
+        meta: dict | None = None,
+    ) -> str:
+        """REPLACE the ``affected`` partitions' content with ``content``
+        (which must contain only rows whose ``part_col`` is in ``affected``)
+        and hard-link every other partition — the general scoped-write
+        primitive under stateful maintenance (upserts AND deletes: a key
+        absent from ``content`` but present in the old partition is gone).
+
+        Exactly-once consumers pass their progress marker via ``meta``: it
+        rides the manifest and commits in the SAME atomic pointer swap as
+        the data (the write_snapshot contract). Falls back to a FULL
+        rewrite preserving semantics when the scoped guards decline
+        (non-identity-encoded partition values) — correctness never depends
+        on the scoped path engaging."""
+        from pyspark.sql import functions as F
+
+        if self.exists(table) and self._scoped_guard(affected) is not None:
+            snap = self._commit_partition_rewrite(
+                table, content, part_col, affected,
+                schema_str=content.schema.simpleString(),
+                meta={**(meta or {}), "replace_scope": sorted(str(v) for v in affected)},
+            )
+            if snap is not None:
+                return snap
+        if self.exists(table):
+            untouched = self.read(spark, table).where(
+                ~F.col(part_col).isin(affected)
+            )
+            content = untouched.unionByName(content)
+        return self.write_snapshot(table, content, [part_col], meta=meta)
 
     def iceberg_rewrite_stmt(self, table: str) -> str:
         """The rewrite_data_files call the fmt="iceberg" compact path
