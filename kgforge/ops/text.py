@@ -56,9 +56,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality",
-    sql=f"""
+QUALITY_SQL = f"""
     WITH t AS (
       SELECT doc_id, text,
              string_split(text, ' ') AS toks,
@@ -75,7 +73,12 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
              / greatest(n_chars, 1) AS punct_ratio,
            CAST(length(text) BETWEEN 20 AND 10000 AS BOOLEAN) AS len_ok
     FROM t
-    """,
+    """
+
+
+@register(
+    "text_quality",
+    sql=QUALITY_SQL,
     doc=(
         "Quality scoring: length, mean token length, stopword ratio, "
         "punctuation ratio, length gate — the C4/Gopher-style filter features."
@@ -115,9 +118,7 @@ def _lang_score_sql(lang: str) -> str:
     )
 
 
-@register(
-    "text_langid",
-    sql=f"""
+LANGID_SQL = f"""
     WITH scored AS (
       SELECT doc_id, lang,
              {_lang_score_sql('en')} AS s_en,
@@ -135,7 +136,12 @@ def _lang_score_sql(lang: str) -> str:
            END AS pred_lang,
            CAST(greatest(s_en, s_de, s_es, s_fr) AS INT) AS score
     FROM scored
-    """,
+    """
+
+
+@register(
+    "text_langid",
+    sql=LANGID_SQL,
     doc=(
         "Heuristic language ID: marker-token overlap per language, argmax "
         "with fixed tie order (en > de > es > fr)."
@@ -516,9 +522,7 @@ CONTAM_K = 5  # token-shingle width for contamination matching
 REP_MAX_TOKENS = 1024
 
 
-@register(
-    "text_repetition",
-    sql=f"""
+REPETITION_SQL = f"""
     WITH t AS (
       SELECT doc_id, (string_split(text, ' '))[1:{REP_MAX_TOKENS}] AS toks
       FROM documents
@@ -540,7 +544,12 @@ REP_MAX_TOKENS = 1024
                   t -> length(list_filter(bigrams, x -> x = t)))), 0) AS DOUBLE)
              / greatest(length(bigrams), 1) AS max_bigram_frac
     FROM b
-    """,
+    """
+
+
+@register(
+    "text_repetition",
+    sql=REPETITION_SQL,
     doc=(
         "Repetition features (the Gopher-style repetition filter): most-"
         "frequent-token fraction, duplicate-bigram fraction, most-frequent-"

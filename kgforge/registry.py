@@ -95,15 +95,21 @@ _ORDER: list[str] = [
     "text_trigram_quality",
     "stream_tumble_batch",
     "stream_slide_batch",
-    "set_intersect",
-    "set_except",
     "agg_rollup",
     "agg_pivot",
     "agg_quantile",
-    "agg_cube",
     "join_asof",
     "win_running",
     "mm_manifest",
+    # -- (c2) NEW in round 4 — no prior driver row exists, must be windowed.
+    # They claim the reserved filler slot plus three displaced r02-green
+    # keys on unchanged code (set_intersect, set_except, agg_cube — each
+    # family keeps in-window representatives: set_union + dedup, and
+    # agg_group/rollup/pivot/quantile/grouping_sets)
+    "text_normalize",
+    "sample_mixture",
+    "filter_gate",
+    "win_funnel",
     # -- (d) flagged by the fingerprint lint: their closure includes
     # pipe_triples, whose dedup-strategy sizing changed this round
     # (est_links_per_doc). The change is perf-only — values proven
@@ -114,13 +120,13 @@ _ORDER: list[str] = [
     "graph_triangles",
     "graph_bfs",
     "graph_triangles_cdc",
-    # -- (e) one reserved slot for a round-4 NEW key, back-filled with a
-    # cheap r03-green key until claimed (a redundant re-check is harmless;
-    # an unchecked new key is not)
-    "scan_project",
     # ---- 50-key window boundary (driver cap observed in rounds 1-3) ----
-    # every key below holds a green CORRECTNESS_r03 row on code unchanged
-    # this round (certified.json pins the fingerprints)
+    # every key below holds a green CORRECTNESS_r02 or _r03 row on code
+    # unchanged this round (certified.json pins the fingerprints)
+    "scan_project",
+    "set_intersect",
+    "set_except",
+    "agg_cube",
     "scan_snapshot",
     "agg_approx",
     "explode_tokens",
@@ -193,7 +199,10 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    # Import for side effect: each module registers its ops.
+    # Import for side effect: each module registers its ops. Order matters
+    # once: curation composes text.py's hoisted oracle-SQL constants, so
+    # text must import first (Python would resolve the nested import anyway;
+    # the explicit order documents the dependency).
     from kgforge.ops import (  # noqa: F401
         functions,
         graph,
@@ -204,5 +213,6 @@ def _ensure_loaded() -> None:
         streaming_batch,
         text,
     )
+    from kgforge.ops import curation  # noqa: F401  (after text)
 
     _LOADED = True

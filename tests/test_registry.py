@@ -45,6 +45,8 @@ def test_driver_window_covers_round4_targets():
         "dedup_minhash",
         # implementation changes in round 4 (manifest-derived dedup sizing)
         "pipe_triples",
+        # NEW in round 4 — no prior driver row exists
+        "text_normalize", "sample_mixture", "filter_gate", "win_funnel",
     }
     missing = must_be_windowed - window
     assert not missing, f"keys outside the driver's 50-key window: {sorted(missing)}"

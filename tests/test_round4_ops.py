@@ -417,3 +417,119 @@ def test_histogram_percentile_matches_engine_percentile(spark):
             ).selectExpr(f"floor(percentile(deg, {pct})) AS k").collect()[0][0]
             assert got == int(want), (pct, vals, got, want)
     assert _histogram_percentile_floor([], 0.10) == 0
+
+
+# ---------------------------------------------------------- curation ops
+def test_text_normalize_hand_cases(spark, tmp_path):
+    from kgforge.ops import curation
+
+    rows = [
+        (1, "Visit https://x.io/a?b=1 NOW!!  Really,   now.", "en", "s", 46),
+        (2, "...", "en", "s", 3),                    # empty after normalize
+        (3, "already clean lower text", "en", "s", 24),
+    ]
+    root = tmp_path / "norm"
+    root.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(root / "documents.parquet"))
+    got = {r.doc_id: r.asDict() for r in curation.text_normalize(spark, str(root)).collect()}
+    assert got[1]["norm_text"] == "visit now really now"
+    assert got[1]["norm_tokens"] == 4
+    assert got[2]["norm_text"] == "" and got[2]["norm_tokens"] == 0
+    assert got[3]["norm_text"] == "already clean lower text"
+    assert got[3]["norm_chars"] == 24 and got[3]["raw_chars"] == 24
+
+
+def test_sample_mixture_deterministic_and_stable_under_growth(spark, tmp_path):
+    """Same selection on re-run; extending the corpus never reselects or
+    drops previously-kept documents (the mixture-reproducibility property
+    rand() sampling lacks); realized per-source rate tracks rate_pct."""
+    from kgforge.ops import curation
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [(i, f"doc {i}", "en", f"s{i % 3}", 5) for i in range(300)]
+    small, big = tmp_path / "small", tmp_path / "big"
+    for root, data in ((small, rows), (big, rows + [
+        (i, f"doc {i}", "en", f"s{i % 3}", 5) for i in range(300, 600)
+    ])):
+        root.mkdir()
+        spark.createDataFrame(data, schema).write.parquet(
+            str(root / "documents.parquet")
+        )
+    kept_small = {r.doc_id for r in curation.sample_mixture(spark, str(small)).collect()}
+    kept_small2 = {r.doc_id for r in curation.sample_mixture(spark, str(small)).collect()}
+    kept_big = {r.doc_id for r in curation.sample_mixture(spark, str(big)).collect()}
+    assert kept_small == kept_small2
+    assert {d for d in kept_big if d < 300} == kept_small  # growth-stable
+    out = curation.sample_mixture(spark, str(small)).collect()
+    assert all(30 <= r.rate_pct <= 90 for r in out)
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, kept in by_src.items():
+        rate = kept[0].rate_pct / 100
+        assert abs(len(kept) / 100 - rate) < 0.15, (src, len(kept), rate)
+
+
+def test_filter_gate_reason_priority_and_consistency(spark):
+    """On the sf0.001 corpus: kept == (reason == 'kept'); every reason is
+    one of the four codes; the gate agrees with the individually-computed
+    feature ops (the composition is value-consistent with its inputs)."""
+    from kgforge.ops import curation, text
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: r for r in curation.filter_gate(spark, sf).collect()}
+    assert got and all(
+        (r.reason == "kept") == r.kept for r in got.values()
+    )
+    assert {r.reason for r in got.values()} <= {
+        "langid", "quality", "repetition", "kept"
+    }
+    assert any(r.reason == "repetition" for r in got.values())
+    assert any(r.kept for r in got.values())
+    rep = {r.doc_id: r.top_token_frac for r in text.text_repetition(spark, sf).collect()}
+    lang = {r.doc_id: r.pred_lang for r in text.text_langid(spark, sf).collect()}
+    for d, r in got.items():
+        if lang[d] == "en" and r.reason == "repetition":
+            assert rep[d] > curation.REP_MAX_TOP_TOKEN
+        if lang[d] != "en":
+            assert r.reason == "langid"
+
+
+def test_win_funnel_matches_hand_computation(spark, tmp_path):
+    """win_funnel over the derived transcripts must equal a pure-Python
+    mirror of the corpus derivation arithmetic (conv = doc_id % n_convs,
+    turn = doc_id // n_convs, role = [user, assistant, tool][doc_id % 3])."""
+    from kgforge.ops import curation
+
+    n = 100
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [(i, f"tok{i:04d} word", "en", "s", 12) for i in range(n)]
+    root = tmp_path / "funnel"
+    root.mkdir()
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(root / "documents.parquet")
+    )
+    n_convs = max(20, n // 8)
+    roles = ["user", "assistant", "tool"]
+    convs: dict[str, list[str]] = {}
+    for i in range(n):
+        cid = f"c{i % n_convs:06d}"
+        convs.setdefault(cid, []).append((i // n_convs, roles[i % 3]))
+    expected = {}
+    for cid, turns in convs.items():
+        seq = [r for _, r in sorted(turns)]
+        user = sum(1 for r in seq if r == "user")
+        hits = sum(
+            1
+            for i, r in enumerate(seq)
+            if r == "user" and "tool" in seq[i + 1 : i + 3]
+        )
+        expected[cid] = (user, hits)
+    got = {
+        r.conv_id: (r.user_turns, r.funnel_hits)
+        for r in curation.win_funnel(spark, str(root)).collect()
+    }
+    assert got == expected
+    assert any(h > 0 for _, h in expected.values())
