@@ -57,6 +57,8 @@ HEADLINE = [
     "sim_lsh_cosine",     # hyperplane-LSH bucketing (ANN scale path)
     "sim_lsh_multiprobe",  # multi-probe LSH (recall at fixed plane count)
     "text_quality",       # text quality scoring
+    "text_tfidf",         # inverted-index TF-IDF top-k terms
+    "sim_bm25",           # integer BM25 ranked retrieval
     "text_lm_score",      # conditional trigram LM quality score
     "text_langid",        # marker-overlap language ID
     "text_pack",          # token-budget shard packing (distributed scan)

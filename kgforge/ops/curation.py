@@ -146,6 +146,42 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- anonymize
+ANON_MIN_LEN = 8  # tokens at least this long are treated as identifiers
+# First 2 + last 2 chars kept, middle masked — format-preserving masking,
+# the PII-scrubbing mechanic (emails/phones would be extra alternates of the
+# same regex at production; this corpus is bare lowercase words, so the
+# identifier rule is the one that actually fires on the data).
+_ANON_RE = r"\b([a-z]{2})[a-z]{4,}([a-z]{2})\b"
+
+
+@register(
+    "text_anonymize",
+    sql=f"""
+    SELECT doc_id,
+           regexp_replace(text, '{_ANON_RE}', '\\1***\\2', 'g') AS anon_text,
+           CAST(length(regexp_extract_all(text, '{_ANON_RE}')) AS INT)
+             AS n_masked
+    FROM documents
+    """,
+    doc=(
+        "Format-preserving token masking (the PII-scrub mechanic): every "
+        f"token of >= {ANON_MIN_LEN} chars keeps its first/last two chars "
+        "and masks the middle; n_masked counts redactions per document. "
+        "Pure per-row regexp_replace + regexp_count, scan speed, no "
+        "shuffle. Cross-engine: Java regex uses $1 backreferences, DuckDB "
+        "RE2 uses \\\\1, and DuckDB needs the explicit 'g' flag; the "
+        "leftmost non-overlapping greedy scan is identical in both."
+    ),
+)
+def text_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", _ANON_RE, "$1***$2").alias("anon_text"),
+        F.regexp_count("text", F.lit(_ANON_RE)).cast("int").alias("n_masked"),
+    )
+
+
 # ------------------------------------------------------------ quality gate
 REP_MAX_TOP_TOKEN = 0.15  # Gopher-style most-frequent-token cut
 GATE_PUNCT_MAX = 0.10

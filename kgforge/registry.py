@@ -94,11 +94,6 @@ _ORDER: list[str] = [
     "text_fingerprint",
     "text_trigram_quality",
     "agg_quantile",
-    "join_asof",
-    "win_running",
-    "mm_manifest",
-    # (displaced to past-window by the (c3) KG read-side batch: r02-green
-    # on unchanged code, fingerprint-pinned in certified.json)
     # -- (c2) NEW in round 4 — no prior driver row exists, must be windowed.
     # They claim the reserved filler slot plus three displaced r02-green
     # keys on unchanged code (set_intersect, set_except, agg_cube — each
@@ -116,6 +111,14 @@ _ORDER: list[str] = [
     "kg_path2hop",
     "graph_sssp",
     "graph_comp_sizes",
+    # -- (c4) NEW in round 4, third batch: lexical retrieval + masking —
+    # displaces join_asof / win_running / mm_manifest (r02-green on
+    # unchanged code; joins keep smj/shj/left/semi/anti/range/cross/salted/
+    # bucketed/broadcast in-window, windows keep rank/lag/range/analytic/
+    # sessionize/funnel, multimodal keeps mm_features)
+    "text_tfidf",
+    "sim_bm25",
+    "text_anonymize",
     # -- (d) flagged by the fingerprint lint: their closure includes
     # pipe_triples, whose dedup-strategy sizing changed this round
     # (est_links_per_doc). The change is perf-only — values proven
@@ -129,6 +132,9 @@ _ORDER: list[str] = [
     # ---- 50-key window boundary (driver cap observed in rounds 1-3) ----
     # every key below holds a green CORRECTNESS_r02 or _r03 row on code
     # unchanged this round (certified.json pins the fingerprints)
+    "join_asof",
+    "win_running",
+    "mm_manifest",
     "stream_tumble_batch",
     "stream_slide_batch",
     "agg_rollup",
@@ -225,5 +231,6 @@ def _ensure_loaded() -> None:
     )
     from kgforge.ops import curation  # noqa: F401  (after text)
     from kgforge.ops import kgquery  # noqa: F401  (composes pipeline CTEs)
+    from kgforge.ops import retrieval  # noqa: F401
 
     _LOADED = True
