@@ -228,34 +228,57 @@ def _gate_sql() -> str:
     doc=(
         "Composed quality gate (the Dolma/CCNet-style keep/drop decision "
         "with a reason code): language-ID, then length/punctuation, then "
-        "repetition — first failing rule wins. Spark side JOINS the three "
-        "registered feature ops' outputs on doc_id (three scans of the "
-        "same documents table that Catalyst schedules independently; at "
-        "100 TB a real pipeline computes the features in ONE pass — the "
-        "three ops here are certified independently and the gate is the "
-        "composition proof). Oracle = the same three certified oracle "
-        "SQLs as CTEs joined on doc_id."
+        "repetition — first failing rule wins. Spark side computes the "
+        "four needed features as per-row expressions over ONE scan of "
+        "documents (no joins, no re-scans — what a 100-TB pipeline "
+        "actually runs); the oracle is the three independently-certified "
+        "feature oracle SQLs composed as CTEs joined on doc_id, so the "
+        "value hash PROVES the one-pass expressions equal the certified "
+        "per-feature ops — any drift between the inlined expressions and "
+        "the feature keys fails the gate's own hash."
     ),
 )
 def filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.ops import text
 
-    q = text.text_quality(spark, sf_dir).select(
-        "doc_id", "len_ok", "punct_ratio"
+    docs = load(spark, sf_dir, "documents")
+    # --- quality features (mirrors text_quality's certified expressions)
+    len_ok = F.length("text").between(20, 10000)
+    punct_ratio = F.size(
+        F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), F.lit(0))
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    # --- language ID (same argmax chain + tie order as text_langid)
+    s = {lang: text._lang_score_spark(lang) for lang in ("en", "de", "es", "fr")}
+    pred_lang = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), F.lit("de"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
     )
-    l = text.text_langid(spark, sf_dir).select("doc_id", "pred_lang")
-    r = text.text_repetition(spark, sf_dir).select("doc_id", "top_token_frac")
-    j = q.join(l, "doc_id").join(r, "doc_id")
-    fail_lang = F.col("pred_lang") != "en"
-    fail_q = (~F.col("len_ok")) | (F.col("punct_ratio") > GATE_PUNCT_MAX)
-    fail_rep = F.col("top_token_frac") > REP_MAX_TOP_TOKEN
+    # --- repetition (text_repetition's capped top-token fraction)
+    toks = F.slice(F.split("text", " "), 1, text.REP_MAX_TOKENS)
+    top_token_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).cast("double")
+        / F.size(toks)
+    )
+    fail_lang = pred_lang != "en"
+    fail_q = (~len_ok) | (punct_ratio > GATE_PUNCT_MAX)
+    fail_rep = top_token_frac > REP_MAX_TOP_TOKEN
     reason = (
         F.when(fail_lang, F.lit("langid"))
         .when(fail_q, F.lit("quality"))
         .when(fail_rep, F.lit("repetition"))
         .otherwise(F.lit("kept"))
     )
-    return j.select(
+    return docs.select(
         "doc_id", reason.alias("reason"), (reason == "kept").alias("kept")
     )
 

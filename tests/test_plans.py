@@ -116,3 +116,17 @@ def test_dedup_triples_is_partial_final_aggregate_no_window(spark):
     first_agg = plan.index("Aggregate (")
     assert "Exchange" in plan[first_agg:plan.index("Aggregate (", first_agg + 1)] or \
            "Exchange" in plan
+
+
+def test_filter_gate_is_one_scan_no_joins(spark):
+    """The round-4 one-pass gate refactor: all four gate features are
+    per-row expressions over a SINGLE documents scan — no joins, no
+    re-scans (the r03 version joined three feature-op outputs and scanned
+    documents three times). The composed-CTE oracle hash proves the values
+    still equal the certified feature keys."""
+    from kgforge.ops.curation import filter_gate
+
+    tree = _plan(filter_gate(spark, SF)).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+    assert "Exchange" not in tree  # scan-speed: nothing shuffles
