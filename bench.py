@@ -51,6 +51,10 @@ HEADLINE = [
     "graph_sssp",         # weighted Bellman-Ford over the entity graph
     "kg_path2hop",        # SPARQL-style 2-hop BGP self-join
     "kg_validate",        # KG integrity audit (3 checks, one pass)
+    "kg_fusion",          # majority-vote truth discovery (encode-min agg)
+    "kg_negsample",       # deterministic tail corruption (broadcast index)
+    "graph_clustercoef",  # triangles / (deg choose 2), degree-oriented
+    "text_chunk",         # overlapping token-window chunking (scan speed)
     "dedup_exact",        # exact hash dedup
     "dedup_ngram_jaccard",  # blocked n-gram Jaccard
     "sim_topk_cosine",    # brute-force cosine top-k over embeddings

@@ -331,3 +331,78 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_user.cast("long")).cast("bigint").alias("user_turns"),
         F.sum(hit.cast("long")).cast("bigint").alias("funnel_hits"),
     )
+
+
+# ------------------------------------------------------------------- chunk
+CHUNK_TOKENS = 64  # tokens per training chunk (the context-window unit)
+CHUNK_STRIDE = 48  # chunk start spacing -> 16-token overlap between chunks
+
+
+@register(
+    "text_chunk",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             length(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CASE WHEN n_tokens > {CHUNK_TOKENS}
+                    THEN (n_tokens - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})
+                         // {CHUNK_STRIDE}
+                    ELSE 0 END)) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * {CHUNK_STRIDE} AS INT) AS start_tok,
+           CAST(length(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                                  chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+                AS INT) AS chunk_tokens,
+           md5(array_to_string(
+                 list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                            chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '))
+             AS chunk_hash
+    FROM c
+    """,
+    doc=(
+        "Overlapping token-window chunking — how a pretraining/RAG "
+        f"pipeline cuts documents into {CHUNK_TOKENS}-token pieces at "
+        f"{CHUNK_STRIDE}-token stride ({CHUNK_TOKENS - CHUNK_STRIDE}-token "
+        "overlap so no boundary context is lost). Pure per-row expressions "
+        "— split, a generate_series explode sized by the SAME arithmetic "
+        "in both engines ((n - chunk + stride - 1) DIV stride extra "
+        "chunks), and a slice per chunk — so the op runs at scan speed "
+        "with NO shuffle and parallelism follows the input splits; "
+        "chunk_hash stands in for shipping chunk text through the "
+        "value-hash compare. Clamp semantics at the tail are identical "
+        "(Spark slice length caps at array end == DuckDB list_slice "
+        "inclusive-end clamp), which the hash proves on every document "
+        "whose length is not a multiple of the stride."
+    ),
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    extra = F.expr(
+        f"CASE WHEN n_tokens > {CHUNK_TOKENS} THEN (n_tokens - {CHUNK_TOKENS}"
+        f" + {CHUNK_STRIDE - 1}) DIV {CHUNK_STRIDE} ELSE 0 END"
+    )
+    c = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), extra)).alias("chunk_idx"),
+    )
+    chunk = F.expr(
+        f"slice(toks, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})"
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * CHUNK_STRIDE).cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )

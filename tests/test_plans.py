@@ -118,6 +118,55 @@ def test_dedup_triples_is_partial_final_aggregate_no_window(spark):
            "Exchange" in plan
 
 
+def test_fuse_triples_is_aggregate_pair_no_window(spark):
+    """kg_fusion's rank-1-per-(subj,pred) must be the string-encoded min
+    aggregate (map-side combining SortAggregate pair), NOT a row_number
+    window over whole partitions — same skew-safety property as
+    dedup_triples. min over a var-length string buffer is SortAggregate by
+    Spark's rule (CLAUDE.md hard-won rules)."""
+    from kgforge.ops.kgfuse import fuse_triples
+
+    rem = spark.createDataFrame(
+        [("s", "p", "a"), ("s", "p", "a"), ("s", "p", "b")],
+        "subj string, pred string, obj string",
+    )
+    plan = _plan(fuse_triples(rem))
+    assert "windowspecdefinition" not in plan.lower()
+    tree = plan.split("\n\n")[0]
+    assert "SortAggregate" in tree  # the min(enc) step
+    # two grouping stages (support count + min-enc), each partial+final
+    assert tree.count("Aggregate (") >= 4
+
+
+def test_negative_samples_never_shuffles_the_triple_stream(spark):
+    """kg_negsample's scale contract: both entity-index lookups broadcast
+    (vocab-bounded) and the relation stream itself reaches the output with
+    ZERO Exchange on its path — shuffles in the plan belong only to the
+    vocab-index / count branches."""
+    from kgforge.ops.kgfuse import negative_samples
+
+    rel = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")],
+        "subj string, pred string, obj string",
+    )
+    tree = _plan(negative_samples(rel)).split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2  # e1 + e2 index lookups
+    assert "SortMergeJoin" not in tree
+    assert "ShuffledHashJoin" not in tree
+
+
+def test_text_chunk_is_scan_speed(spark):
+    """text_chunk is pure per-row work (split → sized explode → slice):
+    one parquet scan, no joins, no Exchange — parallelism follows the
+    input splits, which is what lets it run at scan speed on 100 TB."""
+    from kgforge.ops.curation import text_chunk
+
+    tree = _plan(text_chunk(spark, SF)).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+    assert "Exchange" not in tree
+
+
 def test_filter_gate_is_one_scan_no_joins(spark):
     """The round-4 one-pass gate refactor: all four gate features are
     per-row expressions over a SINGLE documents scan — no joins, no
