@@ -73,7 +73,6 @@ _ORDER: list[str] = [
     "join_broadcast",
     "win_rank",
     "dedup",
-    "dedup_exact",
     "filter_pred",
     "agg_group",
     "sort_global",
@@ -86,10 +85,7 @@ _ORDER: list[str] = [
     "udf_score_arrow",
     "graph_degree",
     "dedup_ngram_jaccard",
-    "text_tokens",
     "text_langid",
-    "text_fingerprint",
-    "text_trigram_quality",
     # -- (c2) NEW in round 4 — no prior driver row exists, must be windowed.
     # They claim the reserved filler slot plus three displaced r02-green
     # keys on unchanged code (set_intersect, set_except, agg_cube — each
@@ -127,6 +123,16 @@ _ORDER: list[str] = [
     "kg_negsample",
     "graph_clustercoef",
     "text_chunk",
+    # -- (c6) NEW in round 4, fifth batch: conversation training-data +
+    # temporal-KG pane — displaces dedup_exact / text_tokens /
+    # text_fingerprint / text_trigram_quality (r02-green on unchanged
+    # code, fingerprint-pinned; dedup keeps minhash/dedup/ngram_jaccard
+    # in-window, text keeps quality/langid/split/pack/repetition/
+    # contamination/normalize/anonymize/tfidf/chunk)
+    "pair_sft",
+    "conv_toolchain",
+    "kg_asof",
+    "dedup_spans",
     # -- (d) flagged by the fingerprint lint: their closure includes
     # pipe_triples, whose dedup-strategy sizing changed this round
     # (est_links_per_doc). The change is perf-only — values proven
@@ -140,6 +146,10 @@ _ORDER: list[str] = [
     # ---- 50-key window boundary (driver cap observed in rounds 1-3) ----
     # every key below holds a green CORRECTNESS_r02 or _r03 row on code
     # unchanged this round (certified.json pins the fingerprints)
+    "dedup_exact",
+    "text_tokens",
+    "text_fingerprint",
+    "text_trigram_quality",
     "udtf_tokens",
     "graph_remap",
     "dedup_simhash",
@@ -245,5 +255,6 @@ def _ensure_loaded() -> None:
     from kgforge.ops import kgfuse  # noqa: F401  (composes pipeline CTEs)
     from kgforge.ops import kgquery  # noqa: F401  (composes pipeline CTEs)
     from kgforge.ops import retrieval  # noqa: F401
+    from kgforge.ops import convo  # noqa: F401  (composes pipeline CTEs)
 
     _LOADED = True
