@@ -67,6 +67,9 @@ HEADLINE = [
     "text_langid",        # marker-overlap language ID
     "text_pack",          # token-budget shard packing (distributed scan)
     "text_contamination",  # train/test shingle decontamination
+    "dedup_spans",        # sequence-level span dedup (first occurrence wins)
+    "pair_sft",           # SFT prompt/response pair mining
+    "kg_asof",            # temporal as-of KG snapshot (encoded-MAX agg)
     "mm_features",        # Arrow-batched binary decode plumbing
     "udf_extract_conv",   # grouped-map conversation fingerprint
     "stream_tumble_batch",  # windowed agg (batch mirror of streaming)

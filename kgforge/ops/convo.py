@@ -323,6 +323,10 @@ def span_dedup(docs: DataFrame) -> DataFrame:
         ).alias("span_no"),
     )
     span = F.expr(f"slice(toks, span_no * {SPAN_TOKENS} + 1, {SPAN_TOKENS})")
+    # Persist the narrow (doc_id, span_no, h, e) cut: it feeds BOTH the
+    # first-occurrence aggregate and the join back, and Catalyst has no
+    # cross-branch CSE — unpersisted, the scan + Generate + md5 run twice
+    # (the repo's pipe_triples/dedup_minhash rule).
     enc = s.select(
         "doc_id",
         "span_no",
@@ -331,7 +335,7 @@ def span_dedup(docs: DataFrame) -> DataFrame:
             F.lpad(F.col("doc_id").cast("string"), ASOF_PAD, "0"),
             F.lpad(F.col("span_no").cast("string"), _SPAN_PAD, "0"),
         ).alias("e"),
-    )
+    ).persist()
     firsts = enc.groupBy("h").agg(F.min("e").alias("fe"))
     dup = F.col("e") != F.col("fe")
     return (

@@ -87,6 +87,24 @@ NOTES = {
         "either way, and the hit counts collapse in a partial/final "
         "aggregate on doc_id."
     ),
+    "kg_asof": (
+        "Temporal as-of snapshot: latest-assertion-wins is the "
+        "string-encoded MAX — a partial/final SortAggregate pair around "
+        "one Exchange on (subj, pred), NO Window node anywhere, so "
+        "late-arriving skew on hot subjects collapses map-side; the "
+        "triple cut is the InMemoryTableScan shared with the fusion pane."
+    ),
+    "dedup_spans": (
+        "Sequence-level span dedup: the span explode is ONE Generate into "
+        "a PERSISTED narrow cut (it feeds both the aggregate and the join "
+        "back — Catalyst has no cross-branch CSE, so unpersisted the scan "
+        "+ Generate + md5 would run twice); first-occurrence is the "
+        "encoded-MIN partial/final SortAggregate on the span hash; the "
+        "join back carries NO broadcast hint (at bench scale Catalyst "
+        "broadcasts the distinct-firsts side, at 100 TB statistics push "
+        "it to a shuffle join); the per-doc rollup is a combining "
+        "HashAggregate. No Window, no cartesian, nothing super-linear."
+    ),
 }
 
 def main():
