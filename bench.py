@@ -54,6 +54,7 @@ HEADLINE = [
     "kg_fusion",          # majority-vote truth discovery (encode-min agg)
     "kg_negsample",       # deterministic tail corruption (broadcast index)
     "graph_clustercoef",  # triangles / (deg choose 2), degree-oriented
+    "graph_randwalk",     # deterministic DeepWalk corpus (indexed steps)
     "text_chunk",         # overlapping token-window chunking (scan speed)
     "dedup_exact",        # exact hash dedup
     "dedup_ngram_jaccard",  # blocked n-gram Jaccard

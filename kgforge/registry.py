@@ -75,14 +75,11 @@ _ORDER: list[str] = [
     "dedup",
     "filter_pred",
     "agg_group",
-    "sort_global",
-    "set_union",
     "text_quality",
     "stream_session_batch",
     "mm_features",
     "pipe_transcripts",
     "udf_extract_conv",
-    "udf_score_arrow",
     "graph_degree",
     "dedup_ngram_jaccard",
     "text_langid",
@@ -133,6 +130,15 @@ _ORDER: list[str] = [
     "conv_toolchain",
     "kg_asof",
     "dedup_spans",
+    # -- (c7) NEW in round 4, sixth batch: KG-embedding prep + schema
+    # diagnostics — displaces sort_global / set_union / udf_score_arrow
+    # (r02-green on unchanged code, fingerprint-pinned; sorts keep
+    # topk_global's ordering coverage past-window + win family in-window,
+    # sets keep dedup in-window, udf keeps udf_extract_conv + udf_mentions'
+    # pipeline coverage)
+    "graph_randwalk",
+    "kg_predstats",
+    "kg_mergestats",
     # -- (d) flagged by the fingerprint lint: their closure includes
     # pipe_triples, whose dedup-strategy sizing changed this round
     # (est_links_per_doc). The change is perf-only — values proven
@@ -150,6 +156,9 @@ _ORDER: list[str] = [
     "text_tokens",
     "text_fingerprint",
     "text_trigram_quality",
+    "sort_global",
+    "set_union",
+    "udf_score_arrow",
     "udtf_tokens",
     "graph_remap",
     "dedup_simhash",
@@ -256,5 +265,6 @@ def _ensure_loaded() -> None:
     from kgforge.ops import kgquery  # noqa: F401  (composes pipeline CTEs)
     from kgforge.ops import retrieval  # noqa: F401
     from kgforge.ops import convo  # noqa: F401  (composes pipeline CTEs)
+    from kgforge.ops import kgembed  # noqa: F401  (composes pipeline CTEs)
 
     _LOADED = True
