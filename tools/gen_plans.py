@@ -87,6 +87,14 @@ NOTES = {
         "either way, and the hit counts collapse in a partial/final "
         "aggregate on doc_id."
     ),
+    "graph_randwalk": (
+        "Deterministic walk corpus: the neighbor index is a checkpointed "
+        "leaf (Scan ExistingRDD — localCheckpoint cuts the upstream "
+        "dataflow out of the logical plan, without which six unrolled "
+        "join branches re-embed it and optimizer time explodes); each "
+        "step is two equi-joins sized by the walker set. No Window in "
+        "the walk plan, no cartesian."
+    ),
     "kg_asof": (
         "Temporal as-of snapshot: latest-assertion-wins is the "
         "string-encoded MAX — a partial/final SortAggregate pair around "
