@@ -310,3 +310,44 @@ def test_triangle_state_partition_scoped_hard_links(spark, tmp_path_factory):
             rewritten += 1
     assert linked > 0, "no partition was hard-linked"
     assert rewritten > 0, "no partition was rewritten"
+
+
+def test_streaming_sft_pairs_equal_batch_across_microbatches(spark):
+    """The stateful streaming SFT miner must reproduce the batch pair_sft
+    even when a pair's turns arrive in DIFFERENT micro-batches: one turn
+    per replay file, so both fixture pairs (direct user->assistant and the
+    two-turn user->tool->assistant) straddle batch boundaries and can only
+    be found through the buffered per-conversation state."""
+    from kgforge.ops import convo
+    from kgforge.streaming import kg_ingest, sft
+
+    tr = spark.createDataFrame(
+        [
+            ("c1", 0, "assistant", "none", "warmup line"),
+            ("c1", 1, "user", "none", "q one"),
+            ("c1", 2, "assistant", "none", "a one is longer"),
+            ("c1", 3, "user", "none", "q two"),
+            ("c1", 4, "tool", "search", "tool output"),
+            ("c1", 5, "assistant", "none", "a two"),
+        ],
+        "conv_id string, turn_idx int, role string, tool string, text string",
+    ).withColumn(
+        "ts",
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, turn_idx * 37)"
+        ),
+    )
+    want = convo.sft_pairs(tr)
+    cols = [
+        "conv_id", "turn_idx", "prompt_hash", "response_hash",
+        "prompt_tokens", "response_tokens",
+    ]
+    want_rows = _rows(want, cols)
+    assert len(want_rows) == 2  # non-vacuous: both rule branches present
+
+    stream = kg_ingest.transcripts_stream(spark, tr, n_files=6)
+    got = jobs.run_available_now(
+        sft.sft_pairs_stream(stream), "append", "sft_pairs_test"
+    )
+    assert _rows(got, cols) == want_rows
