@@ -251,8 +251,12 @@ def test_sharding_ops_on_empty_and_single_doc_corpus(spark, tmp_path):
     (whose test split is empty, so contamination sees no test shingles).
     graph_kcore joins the loop per ADVICE r03: its K derivation used to
     raise TypeError on the NULL percentile of an empty edge set — now the
-    empty histogram yields K=0 and an empty result, like the oracle."""
-    from kgforge.ops import graph
+    empty histogram yields K=0 and an empty result, like the oracle.
+    The round-4 conversation/temporal and embedding panes join too: they
+    route the EMPTY corpus through the whole extract→link→canonicalize
+    dataflow (driver union-find, walk indexing, as-of cutoff arithmetic),
+    a path the text-op loop never reached."""
+    from kgforge.ops import convo, graph, kgembed
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     for rows in ([], [(1, "solo doc here", "en", "s", 13)]):
@@ -272,6 +276,13 @@ def test_sharding_ops_on_empty_and_single_doc_corpus(spark, tmp_path):
             text.text_repetition,
             text.text_contamination,
             graph.graph_kcore,
+            convo.pair_sft,
+            convo.conv_toolchain,
+            convo.kg_asof,
+            convo.dedup_spans,
+            kgembed.graph_randwalk,
+            kgembed.kg_predstats,
+            kgembed.kg_mergestats,
         ):
             fn(spark, str(root)).collect()
 
