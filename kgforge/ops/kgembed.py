@@ -191,6 +191,65 @@ def pred_cooccurrence(tri: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------ relation-property matrix
+
+
+@register(
+    "kg_relprops",
+    sql=_TRIPLES_PREFIX + """,
+    rel AS MATERIALIZED (
+      SELECT DISTINCT subj, pred, obj FROM final_triples
+      WHERE pred <> 'resolved_as'
+    )
+    SELECT r.pred AS pred_a, s.pred AS pred_b,
+           CAST(count(*) AS BIGINT) AS n_reversed
+    FROM rel r JOIN rel s ON s.subj = r.obj AND s.obj = r.subj
+    GROUP BY r.pred, s.pred
+    """,
+    doc=(
+        "Relation-property detection — the ontology-induction matrix: for "
+        "each predicate pair (p, q), how many edges p(a,b) have a "
+        "reversed counterpart q(b,a). The diagonal measures SYMMETRY "
+        "(p(a,b) ∧ p(b,a)), off-diagonal cells are INVERSE-OF candidates "
+        "— the two relation properties a KG schema curator asserts from "
+        "data. Plan: one distinct aggregate to the relation set, then a "
+        "single self-equi-join on the REVERSED node pair (both sides "
+        "shuffle on (subj,obj)/(obj,subj) — edge-sized, exact keys, no "
+        "wedge fan-out because the join key is the full node pair), then "
+        "one combining aggregate on the schema-sized pred pair."
+    ),
+)
+def kg_relprops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = pipeline_ops.pipe_triples(spark, sf_dir)
+    return relation_properties(tri)
+
+
+def relation_properties(tri: DataFrame) -> DataFrame:
+    """triples(subj, pred, obj, ...) → (pred_a, pred_b, n_reversed) over
+    the distinct non-xref relation set. Symmetric pairs are counted from
+    both directions (a diagonal cell is even), pinned on a hand fixture in
+    tests/test_kgembed.py."""
+    rel = (
+        tri.where(F.col("pred") != "resolved_as")
+        .select("subj", "pred", "obj")
+        .distinct()
+        .persist()
+    )
+    r = rel.select(
+        F.col("subj").alias("ra"), F.col("pred").alias("pred_a"),
+        F.col("obj").alias("rb"),
+    )
+    s = rel.select(
+        F.col("obj").alias("ra"), F.col("pred").alias("pred_b"),
+        F.col("subj").alias("rb"),
+    )
+    return (
+        r.join(s, ["ra", "rb"])
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_reversed"))
+    )
+
+
 # ----------------------------------------------------------- merge rates
 
 

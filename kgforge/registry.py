@@ -71,7 +71,6 @@ _ORDER: list[str] = [
     "pipe_triples",
     # -- (c) newest driver row is r02 (code unchanged since round 2)
     "join_broadcast",
-    "win_rank",
     "dedup",
     "filter_pred",
     "agg_group",
@@ -139,6 +138,11 @@ _ORDER: list[str] = [
     "graph_randwalk",
     "kg_predstats",
     "kg_mergestats",
+    # -- (c8) NEW in round 4, seventh batch: relation-property matrix —
+    # displaces win_rank (r02-green on unchanged code, fingerprint-pinned;
+    # windows keep funnel in-window + rank/lag/range/analytic/sessionize
+    # certified past-window)
+    "kg_relprops",
     # -- (d) flagged by the fingerprint lint: their closure includes
     # pipe_triples, whose dedup-strategy sizing changed this round
     # (est_links_per_doc). The change is perf-only — values proven
@@ -159,6 +163,7 @@ _ORDER: list[str] = [
     "sort_global",
     "set_union",
     "udf_score_arrow",
+    "win_rank",
     "udtf_tokens",
     "graph_remap",
     "dedup_simhash",

@@ -126,3 +126,27 @@ def test_walk_plan_has_no_window_or_global_sort_after_index(spark):
     )
     assert "windowspecdefinition(u#" in full  # partition spec present
     assert "SinglePartition" not in full  # never a global window
+
+
+def test_relation_properties_symmetry_and_inverse(spark):
+    tri = spark.createDataFrame(
+        [
+            # p is symmetric on (a,b): both directions present
+            ("a", "p", "b"), ("b", "p", "a"),
+            # q(c,d) has inverse r(d,c)
+            ("c", "q", "d"), ("d", "r", "c"),
+            # unreciprocated edge contributes nothing
+            ("e", "p", "f"),
+            # resolved_as is excluded even when reversed
+            ("x", "resolved_as", "y"), ("y", "resolved_as", "x"),
+            # duplicate assertions collapse before counting
+            ("a", "p", "b"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r["pred_a"], r["pred_b"]): r["n_reversed"]
+        for r in kgembed.relation_properties(tri).collect()
+    }
+    # diagonal (p,p) counts both directions; (q,r) and (r,q) mirror
+    assert got == {("p", "p"): 2, ("q", "r"): 1, ("r", "q"): 1}

@@ -51,7 +51,7 @@ def test_driver_window_covers_round4_targets():
         "text_tfidf", "sim_bm25", "text_anonymize",
         "kg_fusion", "kg_negsample", "graph_clustercoef", "text_chunk",
         "pair_sft", "conv_toolchain", "kg_asof", "dedup_spans",
-        "graph_randwalk", "kg_predstats", "kg_mergestats",
+        "graph_randwalk", "kg_predstats", "kg_mergestats", "kg_relprops",
     }
     missing = must_be_windowed - window
     assert not missing, f"keys outside the driver's 50-key window: {sorted(missing)}"
