@@ -27,10 +27,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kgforge import corpus
-from kgforge.ops import kgfuse
+from kgforge.ops import _util, kgfuse
 from kgforge.ops.pipeline_ops import _PRELUDE
 from kgforge.registry import register
 from kgforge.tables import load
+
+_SPAN_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 # ------------------------------------------------------------- SFT pairs
 
@@ -304,7 +306,12 @@ _SPAN_PAD = 6  # span_no pad: spans-per-doc = tokens/8, bounded well under 1e6
     ),
 )
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return span_dedup(load(spark, sf_dir, "documents"))
+    # span_dedup persists its span cut; memoize per (app, sf_dir) so
+    # repeated invocations reuse it instead of stacking caches (ADVICE r04)
+    return _util.session_memo(
+        _SPAN_MEMO, spark, sf_dir,
+        lambda: span_dedup(load(spark, sf_dir, "documents")),
+    )
 
 
 def span_dedup(docs: DataFrame) -> DataFrame:

@@ -24,8 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kgforge import corpus
-from kgforge.ops import graph, pipeline_ops
+from kgforge.ops import _util, graph, pipeline_ops
 from kgforge.registry import register
+
+_PREDSTATS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_RELPROPS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 _TRIPLES_PREFIX = (
     pipeline_ops._PRELUDE
@@ -173,8 +176,12 @@ def walk_paths(adj: DataFrame, steps: int = WALK_LEN) -> DataFrame:
     ),
 )
 def kg_predstats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tri = pipeline_ops.pipe_triples(spark, sf_dir)
-    return pred_cooccurrence(tri)
+    # pred_cooccurrence persists its (subj, pred) cut; memoize per
+    # (app, sf_dir) so repeated calls reuse it (ADVICE r04)
+    return _util.session_memo(
+        _PREDSTATS_MEMO, spark, sf_dir,
+        lambda: pred_cooccurrence(pipeline_ops.pipe_triples(spark, sf_dir)),
+    )
 
 
 def pred_cooccurrence(tri: DataFrame) -> DataFrame:
@@ -220,8 +227,12 @@ def pred_cooccurrence(tri: DataFrame) -> DataFrame:
     ),
 )
 def kg_relprops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tri = pipeline_ops.pipe_triples(spark, sf_dir)
-    return relation_properties(tri)
+    # relation_properties persists the distinct relation set; memoize per
+    # (app, sf_dir) so repeated calls reuse it (ADVICE r04)
+    return _util.session_memo(
+        _RELPROPS_MEMO, spark, sf_dir,
+        lambda: relation_properties(pipeline_ops.pipe_triples(spark, sf_dir)),
+    )
 
 
 def relation_properties(tri: DataFrame) -> DataFrame:

@@ -170,9 +170,11 @@ _NEG_HASH_SQL = "(" + " + ".join(
         "(TransE-style tail corruption): each relation triple gets a "
         "corrupted object drawn by md5(s|p|o) mod |entities| from the "
         "entity vocabulary, stepping to the next index when the draw hits "
-        "the true object. Re-runs reproduce the exact training set (the "
-        "property rand() corruption lacks), and corpus growth never "
-        "reselects existing negatives. Plan: the triple stream NEVER "
+        "the true object. Re-runs on a FIXED corpus reproduce the exact "
+        "training set (the property rand() corruption lacks); note the "
+        "draw is mod |entities|, so vocabulary growth changes the modulus "
+        "and reshuffles negatives — determinism is per-corpus, not "
+        "append-stable. Plan: the triple stream NEVER "
         "shuffles — the probe is a per-row expression and both index "
         "lookups are broadcast joins against the entity vocabulary "
         "(vocab-bounded: 1:1 with distinct qualifying dictionary tokens, "

@@ -17,7 +17,15 @@ micro-batch boundary.
 
 Scale notes: state is O(1) per live conversation (two turns), the exact
 shape GroupState's store handles at 10^9 keys; arriving rows group-shuffle
-once on conv_id (the same single exchange as the batch window).
+once on conv_id (the same single exchange as the batch window). Dead
+conversations are EVICTED (ADVICE r04): each update arms an event-time
+timeout at max(batch event time) + EVICT_DELAY, so once the watermark
+passes a conversation's last turn by EVICT_DELAY its state is removed and
+the live-key set is bounded by conversations active in the last EVICT_DELAY
+window — not by all conversations ever seen. A turn arriving after its
+conversation was evicted starts from empty state (it cannot pair with a
+pre-eviction turn) — the deliberate semantic cost of bounded state,
+pytest-pinned in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -43,9 +51,26 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
 
 
+# Evict a conversation's state once the watermark passes its last turn by
+# this much. 2x the 1-hour watermark delay: a turn that would still be
+# ACCEPTED by the watermark (≤ 1 h late) always finds its state alive.
+EVICT_DELAY_MS = 2 * 3600 * 1000
+
+_EMPTY_OUT = {
+    "conv_id": [], "turn_idx": [], "prompt_hash": [], "response_hash": [],
+    "prompt_tokens": [], "response_tokens": [],
+}
+
+
 def _pair_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # Watermark passed last-turn + EVICT_DELAY: the conversation is
+        # dead — drop its two-turn buffer (emissions were already final).
+        state.remove()
+        yield pd.DataFrame(_EMPTY_OUT)
+        return
     if state.exists:
         i2, r2, t2, i1, r1, t1 = state.get
     else:
@@ -63,6 +88,14 @@ def _pair_fn(
             out.append((key[0], i2, t2, c_t))
         i2, r2, t2, i1, r1, t1 = i1, r1, t1, c_i, c_r, c_t
     state.update((i2, r2, t2, i1, r1, t1))
+    # Arm eviction at this batch's max event time + EVICT_DELAY. Spark
+    # requires the timeout timestamp to be strictly after the current
+    # watermark, so clamp for the late-but-accepted edge (a batch whose
+    # turns all trail the watermark by almost the full allowed lateness).
+    last_ms = int(batch["ts"].max().value // 1_000_000)
+    state.setTimeoutTimestamp(
+        max(last_ms + EVICT_DELAY_MS, state.getCurrentWatermarkMs() + 1)
+    )
     yield pd.DataFrame(
         {
             "conv_id": [o[0] for o in out],
@@ -87,6 +120,6 @@ def sft_pairs_stream(stream: DataFrame) -> DataFrame:
             outputStructType=PAIR_OUT_SCHEMA,
             stateStructType=PAIR_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

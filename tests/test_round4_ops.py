@@ -255,8 +255,12 @@ def test_sharding_ops_on_empty_and_single_doc_corpus(spark, tmp_path):
     The round-4 conversation/temporal and embedding panes join too: they
     route the EMPTY corpus through the whole extract→link→canonicalize
     dataflow (driver union-find, walk indexing, as-of cutoff arithmetic),
-    a path the text-op loop never reached."""
-    from kgforge.ops import convo, graph, kgembed
+    a path the text-op loop never reached. The kgfuse pane + kg_relprops
+    join per ADVICE r04 — kg_negsample's empty-vocabulary path (entity
+    count n=0 used as a modulus; Spark yields NULL, the index joins drop
+    the row, result is empty rather than a throw) is exactly the class of
+    edge this loop exists to catch."""
+    from kgforge.ops import convo, graph, kgembed, kgfuse
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     for rows in ([], [(1, "solo doc here", "en", "s", 13)]):
@@ -283,6 +287,10 @@ def test_sharding_ops_on_empty_and_single_doc_corpus(spark, tmp_path):
             kgembed.graph_randwalk,
             kgembed.kg_predstats,
             kgembed.kg_mergestats,
+            kgembed.kg_relprops,
+            kgfuse.kg_fusion,
+            kgfuse.kg_negsample,
+            kgfuse.graph_clustercoef,
         ):
             fn(spark, str(root)).collect()
 

@@ -351,3 +351,53 @@ def test_streaming_sft_pairs_equal_batch_across_microbatches(spark):
         sft.sft_pairs_stream(stream), "append", "sft_pairs_test"
     )
     assert _rows(got, cols) == want_rows
+
+
+def test_streaming_sft_state_evicted_after_watermark(spark):
+    """ADVICE r04: the SFT miner's per-conversation state must be EVICTED
+    once the watermark passes its last turn by EVICT_DELAY — otherwise the
+    live-key set grows with every conversation ever seen. Replay order (by
+    the global seq key, one row per micro-batch):
+
+      batch0  conv a, user turn, ts 00:00   -> state armed, timeout 02:00
+      batch1  conv b, user turn, ts 06:00   -> watermark advances to 05:00
+      batch2  conv b, assistant, ts 06:02   -> pair for b emitted; conv a
+              has NO data this batch and 05:00 > 02:00, so a TIMES OUT and
+              its buffer is removed
+      batch3  conv a, assistant, ts 06:03   -> fresh/empty state: NO pair
+
+    Batch pair_sft on the same rows finds BOTH pairs (it has no time rule),
+    so streaming emitting exactly b's pair proves the eviction fired — the
+    documented semantic cost of bounded state, not an accident."""
+    from kgforge.ops import convo
+    from kgforge.streaming import replay, sft
+
+    tr = spark.createDataFrame(
+        [
+            (0, "a", 0, "user", "none", "orphan question"),
+            (1, "b", 0, "user", "none", "live question"),
+            (2, "b", 1, "assistant", "none", "live answer"),
+            (3, "a", 1, "assistant", "none", "answer after eviction"),
+        ],
+        "seq int, conv_id string, turn_idx int, role string,"
+        " tool string, text string",
+    ).withColumn(
+        "ts",
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0,"
+            "   CASE seq WHEN 0 THEN 0 WHEN 1 THEN 21600"
+            "            WHEN 2 THEN 21720 ELSE 21780 END)"
+        ),
+    )
+    batch_pairs = convo.sft_pairs(tr.drop("seq"))
+    assert batch_pairs.count() == 2  # batch (no eviction) pairs BOTH convs
+
+    stream = replay.replay_stream(
+        spark, tr, ["seq"], n_files=4, prefix="kgforge_sft_evict_"
+    ).drop("seq")
+    got = jobs.run_available_now(
+        sft.sft_pairs_stream(stream), "append", "sft_evict_test"
+    ).collect()
+    assert len(got) == 1
+    assert got[0].conv_id == "b"
