@@ -249,22 +249,36 @@ _GRAPH_SQL_PREFIX = (
 )
 
 
+_UND_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def undirected_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected (a < b) entity co-occurrence edges, persisted:
     every analytics op below self-joins this cut, and Catalyst has no
     cross-branch CSE — without the persist the whole extract→link→triples
-    dataflow would re-run once per join branch."""
+    dataflow would re-run once per join branch. Memoized per
+    (applicationId, sf_dir): seven registered graph keys share this cut,
+    so per-call persists would stack seven cached copies of the same
+    edge set in one session (the ADVICE r04 leak class)."""
     from pyspark.sql import functions as F
 
-    tri = pipeline_ops.pipe_triples(spark, sf_dir)
-    return (
-        tri.where((F.col("pred") != "resolved_as") & (F.col("subj") != F.col("obj")))
-        .select(
-            F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b")
+    from kgforge.ops import _util
+
+    def build() -> DataFrame:
+        tri = pipeline_ops.pipe_triples(spark, sf_dir)
+        return (
+            tri.where(
+                (F.col("pred") != "resolved_as") & (F.col("subj") != F.col("obj"))
+            )
+            .select(
+                F.least("subj", "obj").alias("a"),
+                F.greatest("subj", "obj").alias("b"),
+            )
+            .distinct()
+            .persist()
         )
-        .distinct()
-        .persist()
-    )
+
+    return _util.session_memo(_UND_MEMO, spark, sf_dir, build)
 
 
 def triangle_counts(und: DataFrame) -> DataFrame:
