@@ -70,7 +70,12 @@ HEADLINE = [
     "text_contamination",  # train/test shingle decontamination
     "dedup_spans",        # sequence-level span dedup (first occurrence wins)
     "pair_sft",           # SFT prompt/response pair mining
+    "pair_preference",    # deterministic preference pairs (broadcast pool)
     "kg_asof",            # temporal as-of KG snapshot (encoded-MAX agg)
+    "kg_temporal_diff",   # snapshot diff between two as-of cutoffs
+    "graph_khop",         # seed-bounded k-hop neighborhoods (semi-naive)
+    "kg_typing",          # per-entity predicate-role typing profile
+    "sample_stratified",  # exact-quota stratified sampling
     "mm_features",        # Arrow-batched binary decode plumbing
     "udf_extract_conv",   # grouped-map conversation fingerprint
     "stream_tumble_batch",  # windowed agg (batch mirror of streaming)

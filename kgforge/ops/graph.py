@@ -441,24 +441,36 @@ _BASKET_CTE = """
 """
 
 
+_COORDER_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def coorder_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected (a < b) co-ordered part pairs from lineitem,
-    persisted (the jaccard stages branch over it several times)."""
+    persisted (the jaccard stages branch over it several times) and
+    memoized per (applicationId, sf_dir): three registered keys (jaccard,
+    kcore, khop) share this cut, so per-call persists would stack cached
+    copies and re-run the lineitem self-join per key (ADVICE r04 class)."""
+    from kgforge.ops import _util
     from kgforge.tables import load
     from pyspark.sql import functions as F
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l1, l2 = li.alias("l1"), li.alias("l2")
-    return (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    def build() -> DataFrame:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        l1, l2 = li.alias("l1"), li.alias("l2")
+        return (
+            l1.join(
+                l2,
+                (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+            )
+            .select(
+                F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+            )
+            .distinct()
+            .persist()
         )
-        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
-        .distinct()
-        .persist()
-    )
+
+    return _util.session_memo(_COORDER_MEMO, spark, sf_dir, build)
 
 
 @register(

@@ -29,29 +29,26 @@ def test_all_ops_iterates_in_curated_order():
     assert list(registry.all_ops()) == registry._ORDER
 
 
-def test_driver_window_covers_round4_targets():
-    """Round-4 rotation contract (VERDICT r03 #1): the eight keys registered
-    after round 3's window was certified, the rewritten dedup_minhash, and
-    every key whose implementation changes in round 4 must all sit inside
-    the first 50 so CORRECTNESS_r04 gives each a current-code driver row."""
+def test_driver_window_covers_uncertified_and_drifted_keys():
+    """Generic window-coverage rule (replaces the per-round hardcoded
+    target list): any key with NO entry in certified.json (never
+    driver-certified on current code — new this round) and any key whose
+    CURRENT fingerprint differs from its certified one (its code, oracle
+    SQL, or any helper it transitively reaches changed since the round the
+    driver last checked it) must sit inside the first 50 so the next
+    CORRECTNESS file gives it a current-code driver row. Together with
+    test_keys_past_window_are_certified_unchanged this makes the rotation
+    self-maintaining: an edit anywhere in a key's closure either lands the
+    key in-window or fails a lint."""
+    from kgforge import certify
+
+    certified = certify.load_certified()
+    fps = certify.current_fingerprints()
     window = set(registry._ORDER[:50])
     must_be_windowed = {
-        # registered post-rotation in round 3 — zero driver rows so far
-        "sink_compact", "text_split", "text_pack", "text_repetition",
-        "text_contamination", "agg_grouping_sets", "agg_approx_quantile",
-        "graph_kcore",
-        # rewritten in round 3 (minhash_pairs memoization) after its only
-        # driver row (r02) — needs a current-code row
-        "dedup_minhash",
-        # implementation changes in round 4 (manifest-derived dedup sizing)
-        "pipe_triples",
-        # NEW in round 4 — no prior driver row exists
-        "text_normalize", "sample_mixture", "filter_gate", "win_funnel",
-        "kg_validate", "kg_path2hop", "graph_sssp", "graph_comp_sizes",
-        "text_tfidf", "sim_bm25", "text_anonymize",
-        "kg_fusion", "kg_negsample", "graph_clustercoef", "text_chunk",
-        "pair_sft", "conv_toolchain", "kg_asof", "dedup_spans",
-        "graph_randwalk", "kg_predstats", "kg_mergestats", "kg_relprops",
+        key
+        for key in registry._ORDER
+        if key not in certified or certified[key]["fp"] != fps[key]
     }
     missing = must_be_windowed - window
     assert not missing, f"keys outside the driver's 50-key window: {sorted(missing)}"
