@@ -106,6 +106,12 @@ def _session_fn(
 
 
 def stateful_user_counts(stream: DataFrame) -> DataFrame:
+    """NoTimeout is deliberate here: the operator IS a lifetime counter, so
+    evicting idle users would change its semantics (a returning user would
+    restart at 0). State grows with the distinct-user set — acceptable for
+    a bounded user universe; an operator keyed on an UNBOUNDED set (e.g.
+    conversations) must evict instead, the streaming/sft.py pattern
+    (EventTimeTimeout armed at last-event + EVICT_DELAY)."""
     return (
         stream.withWatermark("ts", "1 hour")
         .groupBy("user_id")

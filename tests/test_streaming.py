@@ -401,3 +401,53 @@ def test_streaming_sft_state_evicted_after_watermark(spark):
     ).collect()
     assert len(got) == 1
     assert got[0].conv_id == "b"
+
+
+def test_streaming_asof_maintenance_equals_batch(spark):
+    """The stateful as-of maintainer must converge to the batch
+    latest-wins answer even when winners are OVERTURNED across
+    micro-batches, and a batch that loses (stale assertion arriving after
+    a newer winner) must emit nothing for that key. Replay order follows
+    the explicit seq column (one row per micro-batch), deliberately NOT
+    doc_seq order, so the late-stale path is actually exercised."""
+    from kgforge.ops import convo
+    from kgforge.streaming import asof, replay
+
+    n_convs = 20
+    rows = [
+        # seq, subj, pred, obj, conv_id, turn_idx, m_idx   (doc_seq)
+        (0, "e1", "p", "old", "c000001", 0, 0),    # 1
+        (1, "e2", "p", "only", "c000003", 0, 2),   # 3
+        (2, "e1", "p", "mid", "c000001", 1, 5),    # 21
+        (3, "e1", "p", "new", "c000002", 1, 0),    # 22
+        (4, "e1", "p", "stale", "c000004", 0, 0),  # 4 — arrives last, loses
+    ]
+    schema = (
+        "seq int, subj string, pred string, obj string,"
+        " conv_id string, turn_idx long, m_idx long"
+    )
+    rem = spark.createDataFrame(rows, schema)
+    want = {
+        (r.subj, r.pred): (r.obj, r.asof_seq)
+        for r in convo.asof_triples(rem, n_convs, 10**9).collect()
+    }
+    assert want[("e1", "p")] == ("new", 22)  # non-vacuous fixture
+
+    stream = replay.replay_stream(
+        spark, rem, ["seq"], n_files=5, prefix="kgforge_asof_"
+    )
+    enc = asof.encode_assertions(stream.drop("seq"), n_convs)
+    got = jobs.run_available_now(
+        asof.asof_stream(enc), "update", "asof_maintain_test"
+    ).collect()
+
+    by_key: dict = {}
+    for r in got:
+        by_key.setdefault((r.subj, r.pred), []).append((r.asof_seq, r.obj))
+    # final state == batch answer
+    final = {k: max(v) for k, v in by_key.items()}
+    assert {k: (o, s) for k, (s, o) in final.items()} == want
+    # winners were actually overturned across batches (3 emissions for e1:
+    # old -> mid -> new), and the late-stale batch emitted nothing
+    assert sorted(by_key[("e1", "p")]) == [(1, "old"), (21, "mid"), (22, "new")]
+    assert len(by_key[("e2", "p")]) == 1
