@@ -138,10 +138,14 @@ def khop_neighborhoods(
         new = cand.join(known, ["seed", "dst"], "left_anti").select(
             "seed", "dst", F.lit(h).cast("bigint").alias("hops")
         )
-        # delta feeds the next hop's join and the known union — cut lineage
-        # per hop or the plan re-embeds every prior hop (graph_bfs rule)
+        # ONLY the delta is checkpointed: it feeds the next hop's join AND
+        # the known union, so uncut its lineage doubles per hop (graph_bfs
+        # rule). The known set needs no cut — it is a plain union of
+        # already-checkpointed deltas (a shallow h-leaf tree), and
+        # checkpointing it too would eagerly materialize the whole closure
+        # once per hop for nothing.
         delta = new.localCheckpoint()
-        known = known.unionAll(delta).localCheckpoint()
+        known = known.unionAll(delta)
     return known
 
 

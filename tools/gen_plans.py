@@ -113,6 +113,48 @@ NOTES = {
         "it to a shuffle join); the per-doc rollup is a combining "
         "HashAggregate. No Window, no cartesian, nothing super-linear."
     ),
+    "graph_khop": (
+        "Seed-bounded k-hop neighborhoods, SEMI-NAIVE: the printed plan "
+        "starts from checkpointed leaves (Scan ExistingRDD) because each "
+        "hop's DELTA is localCheckpoint'd — it feeds the next hop's join "
+        "AND the known-set union, the BFS replay lesson — and joins the "
+        "PERSISTED adjacency cut (InMemoryTableScan), never the full "
+        "closure; the anti-join against the known set keeps per-hop work "
+        "at |delta| x avg-degree. No Window, no cartesian; output is "
+        "bounded by |seeds| x reachable-in-K (the unseeded closure is "
+        "Theta(V^2) on a small-world graph — measured — and not offered)."
+    ),
+    "pair_preference": (
+        "Preference-pair mining: the pair stream's only Exchange is "
+        "pair_sft's conv window; the probe is a per-row md5 expression "
+        "and BOTH pool-index lookups are BroadcastHashJoins against the "
+        "pool (distinct responses — bounded far below corpus size), plus "
+        "one broadcast of the 1-row pool count. The kg_negsample plan "
+        "shape: the big side never shuffles in the sampling stage."
+    ),
+    "kg_typing": (
+        "Predicate-role typing: distinct relation set, then ONE combining "
+        "count whose output is bounded by |entities| x |predicates| x 2 "
+        "(schema-sized), then one aggregate producing role counts AND "
+        "majority predicates together via the string-encoded min — a "
+        "partial/final SortAggregate pair (var-length min buffers aren't "
+        "hash-aggregable, the repo rule), NO Window anywhere."
+    ),
+    "kg_temporal_diff": (
+        "As-of snapshot diff: both snapshots are encoded-MAX "
+        "SortAggregate pairs over the ONE InMemoryTableScan of the "
+        "memoized per-occurrence triple cut (shared with the fusion "
+        "pane); the diff itself is a single (subj, pred)-keyed join of "
+        "two KG-sized tables — at bench scale Catalyst broadcasts one "
+        "side, at 100 TB statistics push it to a shuffle join."
+    ),
+    "sample_stratified": (
+        "Exact-quota stratified sampling: ONE ranking Window partitioned "
+        "by the stratum key (lang, source) — the topk_group shape, no "
+        "global sort; the filter on rk <= quota prunes inside the window "
+        "stage. Partition skew is bounded by the largest stratum (the "
+        "two-phase top-k rewrite is the documented escape hatch)."
+    ),
 }
 
 def main():
