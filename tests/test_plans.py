@@ -179,3 +179,66 @@ def test_filter_gate_is_one_scan_no_joins(spark):
     assert tree.count("Scan parquet") == 1
     assert "Join" not in tree
     assert "Exchange" not in tree  # scan-speed: nothing shuffles
+
+
+def test_preference_pairs_never_shuffles_the_pair_stream(spark):
+    """pair_preference's scale contract (the kg_negsample shape applied to
+    the response pool): both pool-index lookups broadcast and the pair
+    stream reaches the output with no shuffle join — Exchanges in the
+    plan belong only to the pool-index / count branches."""
+    from kgforge.ops.kginfer import preference_pairs
+
+    pairs = spark.createDataFrame(
+        [("c1", 1, "ph1", "rhA", 5), ("c1", 3, "ph2", "rhB", 7)],
+        "conv_id string, turn_idx int, prompt_hash string,"
+        " response_hash string, response_tokens long",
+    )
+    tree = _plan(preference_pairs(pairs)).split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2  # e1 + e2 pool lookups
+    assert "SortMergeJoin" not in tree
+    assert "ShuffledHashJoin" not in tree
+
+
+def test_role_typing_is_aggregates_no_window(spark):
+    """kg_typing must produce counts AND majority predicates through
+    aggregates alone (the string-encoded-min pattern): any Window node
+    would sort data-sized partitions; the var-length min buffer makes the
+    final profile aggregate a SortAggregate (claimed, not regretted —
+    map-side combine is what matters at 100 TB)."""
+    from kgforge.ops.kginfer import role_typing
+
+    tri = spark.createDataFrame(
+        [("a", "p", "b", 0), ("b", "q", "c", 0)],
+        "subj string, pred string, obj string, turn_idx int",
+    )
+    tree = _plan(role_typing(tri)).split("\n\n")[0]
+    assert "Window" not in tree
+    assert "SortAggregate" in tree  # the encoded-min profile aggregate
+
+
+def test_stratified_sample_is_one_exchange_window(spark):
+    """sample_stratified is the topk_group shape: ONE Exchange (the
+    stratum key) feeding one Window — no global sort, no join."""
+    from kgforge.ops.kginfer import sample_stratified
+
+    tree = _plan(sample_stratified(spark, SF)).split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 1
+    assert "Join" not in tree
+
+
+def test_khop_joins_only_checkpointed_deltas(spark):
+    """graph_khop's semi-naive contract: the returned plan is a union of
+    the per-hop checkpointed deltas (Scan ExistingRDD leaves) — the full
+    upstream dataflow must NOT re-embed per hop (the graph_randwalk
+    plan-analysis lesson), and the closure never re-joins the edge set."""
+    from pyspark.sql import functions as F
+
+    from kgforge.ops.kginfer import khop_neighborhoods
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "u string, v string")
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = spark.createDataFrame([("a",)], "node string")
+    tree = _plan(khop_neighborhoods(adj, seeds)).split("\n\n")[0]
+    assert tree.count("Scan ExistingRDD") == 3  # one leaf per hop layer
+    assert "Join" not in tree  # all per-hop joins ran at checkpoint time
