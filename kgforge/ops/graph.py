@@ -455,17 +455,30 @@ def coorder_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     def build() -> DataFrame:
+        # One Exchange (the per-order basket aggregate) + in-row pair
+        # expansion instead of the obvious self-join, which shuffles BOTH
+        # aliased lineitem scans (two Exchanges of the full table). On this
+        # DRAM-bound box the two are at measured parity (alternating
+        # median-of-3 in one window, persist included: 5.61 s join vs
+        # 5.70 s expand at sf0.1 local[32] — an earlier apparent 1.7x win
+        # was warm-up order, the host-noise lesson); the expand variant is
+        # kept for the structural property that matters at 100 TB: HALF
+        # the shuffled bytes. Per-row work is |basket|²/2 — the same
+        # fan-out the self-join pays per hot order key (a pathological
+        # giant basket is the skew.py class either way; baskets are
+        # order-line-bounded, not popularity-bounded).
         li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        l1, l2 = li.alias("l1"), li.alias("l2")
+        grp = li.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("ps")
+        )
+        pairs = F.expr(
+            "flatten(transform(array_sort(ps), (x, i) ->"
+            " transform(slice(array_sort(ps), i + 2, size(ps)),"
+            " y -> struct(x AS a, y AS b))))"
+        )
         return (
-            l1.join(
-                l2,
-                (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-                & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
-            )
-            .select(
-                F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
-            )
+            grp.select(F.explode(pairs).alias("e"))
+            .select("e.a", "e.b")
             .distinct()
             .persist()
         )
