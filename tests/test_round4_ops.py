@@ -259,8 +259,12 @@ def test_sharding_ops_on_empty_and_single_doc_corpus(spark, tmp_path):
     join per ADVICE r04 — kg_negsample's empty-vocabulary path (entity
     count n=0 used as a modulus; Spark yields NULL, the index joins drop
     the row, result is empty rather than a throw) is exactly the class of
-    edge this loop exists to catch."""
-    from kgforge.ops import convo, graph, kgembed, kgfuse
+    edge this loop exists to catch. The round-5 pane joins at
+    registration time (the lesson applied proactively): graph_khop sees
+    an edge-free adjacency, pair_preference an empty response pool,
+    kg_temporal_diff two empty snapshots, kg_typing an empty relation
+    set, sample_stratified zero strata."""
+    from kgforge.ops import convo, graph, kgembed, kgfuse, kginfer
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     for rows in ([], [(1, "solo doc here", "en", "s", 13)]):
@@ -291,6 +295,11 @@ def test_sharding_ops_on_empty_and_single_doc_corpus(spark, tmp_path):
             kgfuse.kg_fusion,
             kgfuse.kg_negsample,
             kgfuse.graph_clustercoef,
+            kginfer.graph_khop,
+            kginfer.kg_typing,
+            kginfer.kg_temporal_diff,
+            kginfer.sample_stratified,
+            kginfer.pair_preference,
         ):
             fn(spark, str(root)).collect()
 
