@@ -143,13 +143,16 @@ def khop_neighborhoods(
         new = cand.join(known, ["seed", "dst"], "left_anti").select(
             "seed", "dst", F.lit(h).cast("bigint").alias("hops")
         )
-        # ONLY the delta is checkpointed: it feeds the next hop's join AND
-        # the known union, so uncut its lineage doubles per hop (graph_bfs
-        # rule). The known set needs no cut — it is a plain union of
-        # already-checkpointed deltas (a shallow h-leaf tree), and
-        # checkpointing it too would eagerly materialize the whole closure
-        # once per hop for nothing.
-        delta = new.localCheckpoint()
+        # ONLY the delta is checkpointed, and only while it still feeds a
+        # NEXT hop's join (uncut, its lineage doubles per hop — the
+        # graph_bfs rule). The known set needs no cut — it is a plain
+        # union of already-checkpointed deltas (a shallow h-leaf tree),
+        # and checkpointing it too would eagerly materialize the whole
+        # closure once per hop. The LAST delta is only unioned, never
+        # re-joined: checkpointing it would spend a full materialization
+        # job (a whole extra stage at cluster scale) to cut a one-join
+        # lineage that the final action evaluates exactly once anyway.
+        delta = new.localCheckpoint() if h < hops else new
         known = known.unionAll(delta)
     return known
 

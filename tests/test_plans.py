@@ -233,10 +233,14 @@ def test_stratified_sample_is_one_exchange_window(spark):
 
 
 def test_khop_joins_only_checkpointed_deltas(spark):
-    """graph_khop's semi-naive contract: the returned plan is a union of
-    the per-hop checkpointed deltas (Scan ExistingRDD leaves) — the full
-    upstream dataflow must NOT re-embed per hop (the graph_randwalk
-    plan-analysis lesson), and the closure never re-joins the edge set."""
+    """graph_khop's semi-naive contract: every delta that feeds a NEXT
+    hop is a checkpoint leaf (Scan ExistingRDD) — the full upstream
+    dataflow must NOT re-embed per hop (the graph_randwalk plan-analysis
+    lesson). The LAST hop's delta stays unchecked-pointed on purpose (it
+    is only unioned, never re-joined), so the returned plan carries
+    exactly that one hop's join pair — the inner hop-join against the
+    CACHED adjacency (InMemoryTableScan, never a recomputation) and the
+    LeftAnti against the known set of checkpoint leaves — and no more."""
     from pyspark.sql import functions as F
 
     from kgforge.ops.kginfer import khop_neighborhoods
@@ -245,5 +249,14 @@ def test_khop_joins_only_checkpointed_deltas(spark):
     adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     seeds = spark.createDataFrame([("a",)], "node string")
     tree = _plan(khop_neighborhoods(adj, seeds)).split("\n\n")[0]
-    assert tree.count("Scan ExistingRDD") == 3  # one leaf per hop layer
-    assert "Join" not in tree  # all per-hop joins ran at checkpoint time
+    # hop-1 and hop-2 deltas surface as bare checkpoint leaves in the
+    # top-level union (the last branch is the live hop-3 join).
+    union_children = [
+        ln for ln in tree.splitlines() if ":- Scan ExistingRDD" in ln
+    ]
+    assert len(union_children) >= 2
+    # Exactly ONE hop's join pair in the final plan — not hops× replays.
+    assert tree.count("Join ") == 2  # inner hop-join + LeftAnti vs known
+    assert "LeftAnti" in tree
+    # The adjacency side of the live join is the persisted cut.
+    assert "InMemoryTableScan" in tree

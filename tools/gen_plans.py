@@ -114,14 +114,19 @@ NOTES = {
         "HashAggregate. No Window, no cartesian, nothing super-linear."
     ),
     "graph_khop": (
-        "Seed-bounded k-hop neighborhoods, SEMI-NAIVE: the printed plan "
-        "starts from checkpointed leaves (Scan ExistingRDD) because each "
-        "hop's DELTA is localCheckpoint'd — it feeds the next hop's join "
-        "AND the known-set union, the BFS replay lesson — and joins the "
-        "PERSISTED adjacency cut (InMemoryTableScan), never the full "
-        "closure; the anti-join against the known set keeps per-hop work "
-        "at |delta| x avg-degree. No Window, no cartesian; output is "
-        "bounded by |seeds| x reachable-in-K (the unseeded closure is "
+        "Seed-bounded k-hop neighborhoods, SEMI-NAIVE: every delta that "
+        "feeds a NEXT hop is localCheckpoint'd (uncut, its lineage "
+        "doubles per hop — the BFS replay lesson), so hops 1..K-1 "
+        "surface as bare Scan ExistingRDD leaves in the top-level union. "
+        "The LAST hop's delta is deliberately NOT checkpointed (it is "
+        "only unioned, never re-joined — a checkpoint there would spend "
+        "a full extra materialization stage), so the plan carries exactly "
+        "one live join pair: the hop-join against the PERSISTED, "
+        "u-pre-partitioned adjacency cut (InMemoryTableScan — cached "
+        "partitioning means each hop re-sorts cached partitions instead "
+        "of re-shuffling the edge set) and the LeftAnti against the "
+        "known set of checkpoint leaves. No Window, no cartesian; output "
+        "is bounded by |seeds| x reachable-in-K (the unseeded closure is "
         "Theta(V^2) on a small-world graph — measured — and not offered)."
     ),
     "pair_preference": (
