@@ -560,7 +560,7 @@ def bfs_distances(adj: DataFrame, seeds: DataFrame, iters: int = BFS_ITERS) -> D
 
     adj = adj.persist()
     dist = seeds.select("node", F.lit(0).cast("bigint").alias("dist"))
-    for _ in range(iters):
+    for it in range(iters):
         prop = adj.join(dist, adj.u == dist.node).select(
             F.col("v").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
         )
@@ -572,7 +572,12 @@ def bfs_distances(adj: DataFrame, seeds: DataFrame, iters: int = BFS_ITERS) -> D
         # prior iteration 2× per round — exponential replay (measured 88s →
         # ~8s at sf0.001). localCheckpoint materializes the small frontier
         # and truncates the lineage, same as the CC fixpoint (canon.py).
-        dist = dist.localCheckpoint()
+        # The LAST iteration's frontier feeds nothing — it is returned and
+        # evaluated exactly once by the caller's action, so a checkpoint
+        # there would spend a whole extra materialization stage (the
+        # graph_khop last-delta rule).
+        if it < iters - 1:
+            dist = dist.localCheckpoint()
     return dist.select(F.col("node").alias("node_id"), "dist")
 
 

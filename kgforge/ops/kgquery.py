@@ -260,7 +260,7 @@ def sssp_distances(
     (node_id, dist): ``iters`` min-plus relaxations, each one shuffle-join
     of the frontier against the adjacency plus a min-aggregate."""
     dist = seeds.select("node", F.lit(0).cast("bigint").alias("dist"))
-    for _ in range(iters):
+    for it in range(iters):
         prop = adj.join(dist, adj.u == dist.node).select(
             F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
@@ -269,8 +269,11 @@ def sssp_distances(
         )
         # Same lineage trap as bfs_distances: the frontier feeds the next
         # iteration twice (relaxation join + union), so each round would
-        # re-derive all prior rounds 2x without the checkpoint.
-        dist = dist.localCheckpoint()
+        # re-derive all prior rounds 2x without the checkpoint. The LAST
+        # round's frontier feeds nothing (returned, evaluated once) — no
+        # checkpoint there (the graph_khop last-delta rule).
+        if it < iters - 1:
+            dist = dist.localCheckpoint()
     return dist.select(F.col("node").alias("node_id"), "dist")
 
 
