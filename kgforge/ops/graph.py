@@ -896,14 +896,21 @@ def kcore_peel(
          deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n")).collect()],
         pct,
     )
-    for _ in range(rounds):
+    for rd in range(rounds):
         alive = deg.where(F.col("deg") >= k).select("u")
         e = (
             e.join(alive, "u", "semi")
             .join(alive.withColumnRenamed("u", "v"), "v", "semi")
             .select("u", "v")
-            .localCheckpoint()
         )
+        # Each round's edge cut feeds the NEXT round twice (its degree
+        # aggregate decides who survives AND it is the semi-join input) —
+        # checkpoint it. The LAST round's cut feeds only the returned
+        # degree aggregate, evaluated once: no checkpoint there (the
+        # graph_khop last-delta rule), which skips one materialization of
+        # the loop's biggest dataset.
+        if rd < rounds - 1:
+            e = e.localCheckpoint()
         deg = e.groupBy("u").agg(
             F.count(F.lit(1)).cast("bigint").alias("deg")
         )
