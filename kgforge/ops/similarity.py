@@ -422,14 +422,44 @@ def jaccard_prefix_candidates(d: DataFrame, t: float = JACCARD_T) -> DataFrame:
             ),
         )
         .where(F.col("rn") <= prefix_len)
-        .select("doc_id", "s")
+        .select("doc_id", "s", "n", "rn")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    return (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    na, nb = F.col("a.n"), F.col("b.n")
+    # PPJoin's two LOSSLESS prunes on top of the prefix filter (both proven
+    # by the oracle hash — DuckDB verifies naive all-pairs):
+    # 1. SIZE filter, inside the join condition so pruned pairs never leave
+    #    the shuffle: J >= t and inter <= min(|a|,|b|) force
+    #    min >= t * max.
+    # 2. POSITIONAL filter: the smallest shared shingle c sits in BOTH
+    #    prefixes whenever J >= t (else all common shingles sit past one
+    #    prefix and inter < ceil(t*n) <= t*union already fails), and every
+    #    common shingle is >= c in the global order, so
+    #    inter <= min(n_a - rn_a(c), n_b - rn_b(c)) + 1. rn is decreasing
+    #    in bound, so max-over-shared-prefix-shingles of the bound is the
+    #    bound at c: prune when (1+t) * max_ub < t * (n_a + n_b)
+    #    (inter >= t*union  <=>  (1+t)*inter >= t*(n_a+n_b)). The 1e-9
+    #    slack keeps the prune conservative under any non-dyadic t.
+    eps = 1e-9
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(na, nb) >= F.lit(t) * F.greatest(na, nb) - F.lit(eps)),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.least(na - F.col("a.rn"), nb - F.col("b.rn")) + 1).alias("ub"),
+            (na + nb).alias("nsum"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("ub").alias("ub"), F.max("nsum").alias("nsum"))
     )
+    return pairs.where(
+        F.lit(1.0 + t) * F.col("ub") >= F.lit(t) * F.col("nsum") - F.lit(eps)
+    ).select("doc_a", "doc_b")
 
 
 @register(
