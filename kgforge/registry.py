@@ -62,7 +62,10 @@ _ORDER: list[str] = [
     "pair_preference",
     # -- (b) fingerprint changed since the r04 certification: the ADVICE
     # fixes (kg_negsample doc, dedup_spans/kg_predstats/kg_relprops
-    # session memos) and the undirected_entity_edges memo closure
+    # session memos), the undirected_entity_edges memo closure, and the
+    # late-round PPJoin size/positional filters in the prefix-candidate
+    # helper (displaced the fn_string refresh filler one-for-one)
+    "dedup_ngram_jaccard",
     "kg_negsample",
     "dedup_spans",
     "kg_predstats",
@@ -100,7 +103,6 @@ _ORDER: list[str] = [
     # -- (d) r03-green refresh fillers: heaviest / most-shared closures
     # first (similarity + pipeline + scan families), swapped out one-for-
     # one if a later round-5 edit re-fingerprints some other key
-    "fn_string",
     "fn_hash",
     "scan_snapshot",
     "scan_cdc",
@@ -116,6 +118,7 @@ _ORDER: list[str] = [
     # ---- 50-key window boundary (driver cap observed in rounds 1-4) ----
     # every key below holds a green CORRECTNESS_r03 or _r04 row on code
     # unchanged this round (certified.json pins the fingerprints)
+    "fn_string",
     "sink_compact",
     "text_split",
     "text_pack",
@@ -136,7 +139,6 @@ _ORDER: list[str] = [
     "pipe_transcripts",
     "udf_extract_conv",
     "graph_degree",
-    "dedup_ngram_jaccard",
     "text_langid",
     "text_normalize",
     "sample_mixture",
